@@ -1,0 +1,134 @@
+"""Configuration system: YAML presets overlaid with CLI options.
+
+Mirrors the two-layer config of the reference (poreplex/commandline.py:60-76
+merged with argparse overrides at :267-296) but holds everything in a typed
+`Config` wrapper instead of a raw dict, and resolves model assets to the
+.npz weight bundles produced by ``tools/import_assets.py``.
+"""
+
+import os
+import copy
+
+import yaml
+
+from . import (OUTPUT_NAME_PASSED, OUTPUT_NAME_FAILED, OUTPUT_NAME_ARTIFACT,
+               OUTPUT_NAME_BARCODES, OUTPUT_NAME_UNDETERMINED,
+               OUTPUT_NAME_BARCODING_OFF)
+
+PRESETS_DIR = os.path.join(os.path.dirname(__file__), 'presets')
+
+
+def presets_dir():
+    return PRESETS_DIR
+
+
+def resolve_preset_path(name_or_path):
+    """Resolve ``-c`` argument: a file path, a bundled preset name, or the
+    default preset (reference: poreplex/commandline.py:60-69)."""
+    if not name_or_path:
+        return os.path.join(PRESETS_DIR, 'rna-r941.yaml')
+    if os.path.isfile(name_or_path):
+        return name_or_path
+    candidate = os.path.join(PRESETS_DIR, name_or_path + '.yaml')
+    if os.path.isfile(candidate):
+        return candidate
+    raise FileNotFoundError(
+        'Cannot find a configuration in {}.'.format(name_or_path))
+
+
+def load_preset(name_or_path=''):
+    """Load a preset YAML into a plain dict, resolving asset paths."""
+    path = resolve_preset_path(name_or_path)
+    with open(path) as f:
+        config = yaml.safe_load(f)
+
+    kmer_models_dir = os.path.join(PRESETS_DIR, 'kmer_models')
+    if 'kmer_model' in config and not os.path.isabs(config['kmer_model']):
+        config['kmer_model'] = os.path.join(kmer_models_dir,
+                                            config['kmer_model'])
+    for section, key in (('signal_processing', 'scaler_model'),
+                         ('demultiplexing', 'demux_model')):
+        if section in config and key in config[section]:
+            val = config[section][key]
+            if not os.path.isabs(val):
+                config[section][key] = os.path.join(PRESETS_DIR, val)
+    return config
+
+
+def setup_output_name_mapping(config):
+    """Build the (label, barcode) -> output-name layout
+    (reference: poreplex/commandline.py:137-159)."""
+    label_names = {'fail': OUTPUT_NAME_FAILED, 'pass': OUTPUT_NAME_PASSED}
+
+    if config['filter_unsplit_reads']:
+        label_names['artifact'] = OUTPUT_NAME_ARTIFACT
+
+    if config['barcoding']:
+        num_barcodes = config['demultiplexing']['number_of_barcodes']
+        barcode_names = {None: OUTPUT_NAME_UNDETERMINED}
+        for i in range(num_barcodes):
+            barcode_names[i] = OUTPUT_NAME_BARCODES.format(n=i + 1)
+
+        layout_maps = {
+            (label, bc): os.path.join(labelname, bcname)
+            for label, labelname in label_names.items()
+            for bc, bcname in barcode_names.items()
+        }
+    else:
+        barcode_names = {None: OUTPUT_NAME_BARCODING_OFF}
+        layout_maps = {
+            (label, None): labelname for label, labelname in label_names.items()}
+
+    return label_names, barcode_names, layout_maps
+
+
+DEFAULT_OPTIONS = dict(
+    quiet=True,
+    interactive=False,
+    parallel=1,
+    live=False,
+    analysis_start_delay=0,
+    dashboard=False,
+    contig_aliases=None,
+    barcoding=False,
+    barcoding_quality_filter=18,
+    measure_polya=False,
+    filter_unsplit_reads=False,
+    batch_chunk_size=128,
+    albacore_onthefly=False,
+    dump_adapter_signals=False,
+    dump_basecalls=False,
+    fastq_output=True,
+    fast5_output=False,
+    fast5_batch_size=4000,
+    nanopolish_output=False,
+    trim_adapter=False,
+    minimum_sequence_length=10,
+    minimap2_index=None,
+    nobasecall_stop_trigger=1000,
+    # TPU-specific knobs (no reference equivalent)
+    device_batch_size=128,
+    use_tpu=True,
+    mesh_shape=None,         # None => all local devices on a 1-D 'batch' mesh
+    io_threads=2,
+)
+
+
+def build_config(inputdir, outputdir, preset='', **options):
+    """Assemble the full runtime config dict, mirroring
+    poreplex/commandline.py:263-296 defaulting."""
+    config = load_preset(preset)
+    config.update(copy.deepcopy(DEFAULT_OPTIONS))
+    config['inputdir'] = inputdir
+    config['outputdir'] = outputdir
+    config['tmpdir'] = options.pop('tmpdir', None) or os.path.join(
+        outputdir, 'tmp')
+    config['cleanup_tmpdir'] = False
+    for key, value in options.items():
+        if key not in config and key not in DEFAULT_OPTIONS:
+            raise KeyError('Unknown config option: {}'.format(key))
+        config[key] = value
+
+    (config['label_names'], config['barcode_names'],
+     config['output_layout']) = setup_output_name_mapping(config)
+    return config

@@ -1,0 +1,74 @@
+"""Signal scaling predictor.
+
+Predicts per-read (scale, shift) to map raw pA signal onto the reference
+pore model space. Mirrors the behavior of the reference's Keras scaler
+(poreplex/signal_loader.py:49-109): stride-pooled first 30k samples ->
+LSTM(48) -> LSTM(48) -> Dense(2), then an affine output transform and a
+Gaussian-quantile QC gate. Weights come from the converted
+``scaler-r3.npz`` bundle.
+"""
+
+import json
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.stats import norm
+
+from ..ops import rnn
+
+
+class ScalerModel:
+
+    def __init__(self, model_path, qc_threshold=0.02):
+        data = np.load(model_path)
+        self.params = {
+            'lstm1': {k: jnp.asarray(data['lstm1/' + k])
+                      for k in ('kernel', 'recurrent', 'bias')},
+            'lstm2': {k: jnp.asarray(data['lstm2/' + k])
+                      for k in ('kernel', 'recurrent', 'bias')},
+            'dense': {k: jnp.asarray(data['dense/' + k])
+                      for k in ('kernel', 'bias')},
+        }
+        meta = json.loads(bytes(data['meta']).decode())
+        self.input_length = int(meta['input']['length'])      # 30000
+        self.input_stride = int(meta['input']['stride'])      # 15
+        self.min_length = int(meta['input']['min_length'])    # 9000
+        self.pooled_length = self.input_length // self.input_stride
+        self.model_version = meta.get('model_version', '')
+
+        xfrm = meta['output_transform']
+        # poly1d([std, mean]) == std * x + mean
+        # (reference: poreplex/signal_loader.py:59-60)
+        self.xfrm = np.array([[xfrm['scale_std'], xfrm['scale_mean']],
+                              [xfrm['shift_std'], xfrm['shift_mean']]],
+                             dtype=np.float64)
+        # QC acceptance range per output via Gaussian quantiles
+        # (reference: poreplex/signal_loader.py:65-73)
+        q = [qc_threshold, 1.0 - qc_threshold]
+        self.qc_scale_range = norm.ppf(q, xfrm['scale_mean'], xfrm['scale_std'])
+        self.qc_shift_range = norm.ppf(q, xfrm['shift_mean'], xfrm['shift_std'])
+
+        self._ranges = jnp.asarray(
+            np.array([self.qc_scale_range, self.qc_shift_range]),
+            dtype=jnp.float32)
+        self._xfrm = jnp.asarray(self.xfrm, dtype=jnp.float32)
+        self._apply = jax.jit(self._forward)
+
+    def _forward(self, signal_heads):
+        """signal_heads: [B, pooled_length] f32 -> (params [B,2], qc_ok [B])."""
+        x = signal_heads[..., None]
+        h = rnn.lstm(self.params['lstm1'], x, return_sequences=True)
+        h = rnn.lstm(self.params['lstm2'], h, return_sequences=False)
+        pred = rnn.dense(self.params['dense'], h)          # [B, 2]
+        scaling = pred * self._xfrm[:, 0] + self._xfrm[:, 1]
+        qc_ok = jnp.all((scaling >= self._ranges[:, 0]) &
+                        (scaling <= self._ranges[:, 1]), axis=-1)
+        return scaling, qc_ok
+
+    def predict(self, signal_heads):
+        """Host-facing convenience entry; returns numpy arrays."""
+        scaling, qc_ok = self._apply(jnp.asarray(signal_heads, jnp.float32))
+        return np.asarray(scaling), np.asarray(qc_ok)

@@ -1,0 +1,240 @@
+"""Batched scrappie-style event detection on device.
+
+Replaces the reference's C kernel (src/contrib/scrappie/event_detection.c,
+bound via src/csupport.c and called per read from poreplex/polya.py:65) with
+a [B, T] JAX kernel:
+
+* the windowed two-sample t-statistics are computed from cumulative sums of
+  the per-lane mean-centered signal (the t-stat is shift-invariant, and
+  centering keeps f32 prefix sums accurate where the C code needed f64);
+* the dual short/long peak-detector state machine runs as one ``lax.scan``
+  over time with all batch lanes in VPU registers;
+* peak compaction and per-event mean/stdv are vectorized gathers.
+
+A C++ mirror of the original algorithm lives in src/sigproc.cc for bit-parity
+validation (see poreplex_tpu/native.py).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+F32_TINY = float(np.finfo(np.float32).tiny)
+F32_MAX = float(np.finfo(np.float32).max)
+
+
+def _centered_cumsums(x, lengths):
+    """Per-lane masked mean-centering + exclusive cumulative sums.
+    Returns (center [B,1], cs [B,T+1], css [B,T+1]) where cs[:, i] is the sum
+    of the first i centered samples."""
+    batch, seqlen = x.shape
+    valid = jnp.arange(seqlen)[None, :] < lengths[:, None]
+    xm = jnp.where(valid, x, 0.0)
+    center = jnp.sum(xm, axis=1, keepdims=True) / jnp.maximum(
+        lengths[:, None], 1)
+    xc = jnp.where(valid, x - center, 0.0)
+    zeros = jnp.zeros((batch, 1), x.dtype)
+    cs = jnp.concatenate([zeros, jnp.cumsum(xc, axis=1)], axis=1)
+    css = jnp.concatenate([zeros, jnp.cumsum(xc * xc, axis=1)], axis=1)
+    return center, cs, css
+
+
+def compute_tstat(cs, css, lengths, w):
+    """Windowed t-statistic [B, T] from centered cumsums (semantics of
+    event_detection.c:62-117: nonzero only for w <= i <= L - w; zero when
+    L < 2w or w < 2)."""
+    batch = cs.shape[0]
+    seqlen = cs.shape[1] - 1
+    idx = jnp.arange(seqlen)
+
+    i0 = jnp.maximum(idx - w, 0)
+    sum1 = jnp.take_along_axis(cs, jnp.broadcast_to(idx[None, :], (batch, seqlen)), 1) - \
+        jnp.take_along_axis(cs, jnp.broadcast_to(i0[None, :], (batch, seqlen)), 1)
+    ssq1 = jnp.take_along_axis(css, jnp.broadcast_to(idx[None, :], (batch, seqlen)), 1) - \
+        jnp.take_along_axis(css, jnp.broadcast_to(i0[None, :], (batch, seqlen)), 1)
+    i2 = jnp.minimum(idx + w, seqlen)
+    sum2 = jnp.take_along_axis(cs, jnp.broadcast_to(i2[None, :], (batch, seqlen)), 1) - \
+        jnp.take_along_axis(cs, jnp.broadcast_to(idx[None, :], (batch, seqlen)), 1)
+    ssq2 = jnp.take_along_axis(css, jnp.broadcast_to(i2[None, :], (batch, seqlen)), 1) - \
+        jnp.take_along_axis(css, jnp.broadcast_to(idx[None, :], (batch, seqlen)), 1)
+
+    wf = jnp.float32(w)
+    mean1 = sum1 / wf
+    mean2 = sum2 / wf
+    combined_var = ssq1 / wf - mean1 * mean1 + ssq2 / wf - mean2 * mean2
+    combined_var = jnp.maximum(combined_var, F32_TINY)
+    tstat = jnp.abs(mean2 - mean1) / jnp.sqrt(combined_var / wf)
+
+    L = lengths[:, None]
+    in_range = (idx[None, :] >= w) & (idx[None, :] <= L - w)
+    degenerate = (L < 2 * w) | (w < 2)
+    return jnp.where(in_range & ~degenerate, tstat, 0.0)
+
+
+def _detector_step(state, tval, i, lengths, threshold, window_length,
+                   peak_height, extra_skip):
+    """One vectorized step of the C peak-detector state machine
+    (event_detection.c:139-197) for a whole batch lane-set of one detector.
+
+    state: dict(masked_to, peak_pos, peak_value, valid)
+    Returns (new_state, emitted [B] int32 with -1 for no peak, firing [B])."""
+    masked_to = state['masked_to']
+    peak_pos = state['peak_pos']
+    peak_value = state['peak_value']
+    valid = state['valid']
+
+    skip = (masked_to >= i) | (i >= lengths) | extra_skip
+
+    not_in_peak = peak_pos == -1
+    # CASE 1: no maximum recorded yet
+    deeper = tval < peak_value
+    qualify = (tval - peak_value) > peak_height
+    pv_case1 = jnp.where(deeper | qualify, tval, peak_value)
+    pp_case1 = jnp.where(~deeper & qualify, i, peak_pos)
+
+    # CASE 2: inside an existing peak
+    higher = tval > peak_value
+    pv_case2 = jnp.where(higher, tval, peak_value)
+    pp_case2 = jnp.where(higher, i, peak_pos)
+    became_valid = ((pv_case2 - tval) > peak_height) & (pv_case2 > threshold)
+    valid2 = valid | became_valid
+    fire = valid2 & ((i - pp_case2) > (window_length // 2))
+    emitted = jnp.where(fire, pp_case2, -1)
+    pp_case2 = jnp.where(fire, -1, pp_case2)
+    pv_case2 = jnp.where(fire, tval, pv_case2)
+    valid2 = jnp.where(fire, False, valid2)
+
+    new_pp = jnp.where(not_in_peak, pp_case1, pp_case2)
+    new_pv = jnp.where(not_in_peak, pv_case1, pv_case2)
+    new_valid = jnp.where(not_in_peak, valid, valid2)
+
+    out = {
+        'masked_to': masked_to,
+        'peak_pos': jnp.where(skip, peak_pos, new_pp),
+        'peak_value': jnp.where(skip, peak_value, new_pv),
+        'valid': jnp.where(skip, valid, new_valid),
+    }
+    emitted = jnp.where(skip, -1, jnp.where(not_in_peak, -1, emitted))
+    # "in peak over threshold" signal used by the short detector to mask the
+    # long one (uses post-update peak_value, only in CASE 2):
+    dominating = (~skip) & (~not_in_peak) & (new_pv > threshold)
+    dom_pos = new_pp
+    return out, emitted, dominating, dom_pos
+
+
+def detect_peaks(tstat1, tstat2, lengths, threshold1, threshold2,
+                 window_length1, window_length2, peak_height):
+    """Run the dual-detector state machine. Returns (peaks_short [B, T],
+    peaks_long [B, T]) with emitted peak position or -1 per step."""
+    batch, seqlen = tstat1.shape
+
+    def fresh(dtype_pos=jnp.int32):
+        return {
+            'masked_to': jnp.zeros((batch,), jnp.int32),
+            'peak_pos': jnp.full((batch,), -1, jnp.int32),
+            'peak_value': jnp.full((batch,), F32_MAX, jnp.float32),
+            'valid': jnp.zeros((batch,), bool),
+        }
+
+    ts = jnp.stack([jnp.swapaxes(tstat1, 0, 1),
+                    jnp.swapaxes(tstat2, 0, 1)])   # [2, T, B]
+
+    def step(carry, inputs):
+        short, long_ = carry
+        t1, t2, i = inputs
+        short, em_s, dominating, dom_pos = _detector_step(
+            short, t1, i, lengths, threshold1, window_length1, peak_height,
+            jnp.zeros((batch,), bool))
+        # short dominates: reset+mask the long detector
+        # (event_detection.c:169-179); applied before long's own step.
+        long_ = {
+            'masked_to': jnp.where(dominating, dom_pos + window_length1,
+                                   long_['masked_to']),
+            'peak_pos': jnp.where(dominating, -1, long_['peak_pos']),
+            'peak_value': jnp.where(dominating, F32_MAX, long_['peak_value']),
+            'valid': jnp.where(dominating, False, long_['valid']),
+        }
+        long_, em_l, _, _ = _detector_step(
+            long_, t2, i, lengths, threshold2, window_length2, peak_height,
+            jnp.zeros((batch,), bool))
+        return (short, long_), (em_s, em_l)
+
+    (_, _), (em_s, em_l) = jax.lax.scan(
+        step, (fresh(), fresh()),
+        (ts[0], ts[1], jnp.arange(seqlen)))
+    return jnp.swapaxes(em_s, 0, 1), jnp.swapaxes(em_l, 0, 1)
+
+
+def compact_peaks(peaks_short, peaks_long, max_peaks):
+    """Merge the two emission streams into append order (short before long at
+    the same timestep, matching the C code's inner detector loop), keeping
+    only positions > 0, compacted to [B, max_peaks] with -1 padding."""
+    batch, seqlen = peaks_short.shape
+    inter = jnp.stack([peaks_short, peaks_long], axis=2).reshape(
+        batch, 2 * seqlen)
+    validp = inter > 0
+    slot = jnp.arange(2 * seqlen)
+    key = jnp.where(validp, slot, 2 * seqlen + slot)
+    order = jnp.argsort(key, axis=1)[:, :max_peaks]
+    gathered = jnp.take_along_axis(inter, order, axis=1)
+    count = jnp.minimum(jnp.sum(validp, axis=1), max_peaks)
+    in_range = jnp.arange(max_peaks)[None, :] < count[:, None]
+    return jnp.where(in_range, gathered, -1), count
+
+
+def event_stats(boundaries, n_bounds, center, cs, css, lengths):
+    """Build events from peak boundaries (event_detection.c:238-271):
+    events [0,b0), [b0,b1), ..., [b_last, L). Means/stdvs from the centered
+    cumsums; returns start [B,P+1] i32, length/mean/stdv [B,P+1] f32 and
+    n_events [B] (= n_bounds + 1)."""
+    batch, max_peaks = boundaries.shape
+    L = lengths[:, None]
+    starts = jnp.concatenate(
+        [jnp.zeros((batch, 1), jnp.int32), boundaries], axis=1)
+    ends = jnp.concatenate([boundaries, jnp.zeros((batch, 1), jnp.int32)],
+                           axis=1)
+    ev_idx = jnp.arange(max_peaks + 1)[None, :]
+    n_events = n_bounds + 1
+    is_last = ev_idx == (n_events[:, None] - 1)
+    ends = jnp.where(is_last, L, ends)
+    valid_ev = ev_idx < n_events[:, None]
+    starts = jnp.where(valid_ev, starts, 0).astype(jnp.int32)
+    ends = jnp.where(valid_ev, jnp.maximum(ends, starts + 1),
+                     starts + 1).astype(jnp.int32)
+
+    s_cs = jnp.take_along_axis(cs, starts, axis=1)
+    e_cs = jnp.take_along_axis(cs, ends, axis=1)
+    s_css = jnp.take_along_axis(css, starts, axis=1)
+    e_css = jnp.take_along_axis(css, ends, axis=1)
+    length = (ends - starts).astype(jnp.float32)
+    mean_c = (e_cs - s_cs) / length
+    var = (e_css - s_css) / length - mean_c * mean_c
+    stdv = jnp.sqrt(jnp.maximum(var, 0.0))
+    mean = mean_c + center
+    return starts, length, mean, stdv, n_events
+
+
+@partial(jax.jit, static_argnames=('window_length1', 'window_length2',
+                                   'max_peaks'))
+def detect_events(signal, lengths, window_length1=7, window_length2=20,
+                  threshold1=3.0, threshold2=8.0, peak_height=4.0,
+                  max_peaks=1023):
+    """Full batched event detection.
+
+    signal: [B, T] f32 (padded), lengths: [B] i32
+    Returns dict with start [B,P+1] i32, length/mean/stdv [B,P+1] f32,
+    n_events [B] i32.
+    """
+    lengths = lengths.astype(jnp.int32)
+    center, cs, css = _centered_cumsums(signal, lengths)
+    t1 = compute_tstat(cs, css, lengths, window_length1)
+    t2 = compute_tstat(cs, css, lengths, window_length2)
+    ps, pl = detect_peaks(t1, t2, lengths, threshold1, threshold2,
+                          window_length1, window_length2, peak_height)
+    bounds, n_bounds = compact_peaks(ps, pl, max_peaks)
+    starts, length, mean, stdv, n_events = event_stats(
+        bounds, n_bounds, center, cs, css, lengths)
+    return {'start': starts, 'length': length, 'mean': mean, 'stdv': stdv,
+            'n_events': n_events}

@@ -1,0 +1,100 @@
+"""Batched LSTM kernels for the scaler and demultiplexer networks.
+
+The reference runs these models through Keras/TensorFlow
+(poreplex/signal_loader.py:96-97, poreplex/barcoding.py:106-107). Here they
+are implemented as JAX scans designed for the TPU MXU:
+
+* the input projection ``x @ W`` for ALL timesteps is hoisted out of the
+  recurrence into one large [B*T, I] x [I, 4H] matmul so the systolic array
+  sees a single big GEMM instead of T tiny ones;
+* the sequential part carries only the [B, H] x [H, 4H] recurrent matmul
+  inside ``lax.scan``;
+* gate order is Keras-compatible [i, f, c, o] so converted weights are used
+  verbatim (tools/import_assets.py).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# This environment's default matmul precision demotes f32 GEMMs to bf16
+# (one MXU pass). The scaler/demux networks are tiny and parity-sensitive, so
+# run their GEMMs at full f32 precision explicitly.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def matmul_f32(a, b):
+    return jnp.matmul(a, b, precision=PRECISION)
+
+
+def accurate_tanh(x):
+    """tanh via expm1 — XLA's builtin tanh is a fast approximation with
+    ~4e-5 absolute error, which compounds through long recurrences; this
+    formulation is accurate to ~1ulp of expm1 and keeps the scaler/demux
+    outputs aligned with the TF-computed reference models."""
+    x = jnp.clip(x, -20.0, 20.0)
+    t = jnp.expm1(2.0 * x)
+    return t / (t + 2.0)
+
+
+def lstm_gates(z, c_prev):
+    """Apply Keras-ordered LSTM gate math to pre-activations z=[..., 4H]."""
+    h4 = z.shape[-1] // 4
+    i = jax.nn.sigmoid(z[..., 0 * h4:1 * h4])
+    f = jax.nn.sigmoid(z[..., 1 * h4:2 * h4])
+    g = accurate_tanh(z[..., 2 * h4:3 * h4])
+    o = jax.nn.sigmoid(z[..., 3 * h4:4 * h4])
+    c = f * c_prev + i * g
+    h = o * accurate_tanh(c)
+    return h, c
+
+
+def lstm(params, xs, reverse=False, return_sequences=True):
+    """Run an LSTM over a batch of sequences.
+
+    params: dict with 'kernel' [I, 4H], 'recurrent' [H, 4H], 'bias' [4H]
+    xs: [B, T, I] input batch
+    Returns [B, T, H] if return_sequences else [B, H] (last step).
+    """
+    kernel = params['kernel']
+    recurrent = params['recurrent']
+    bias = params['bias']
+    batch, seqlen, _ = xs.shape
+    hidden = recurrent.shape[0]
+
+    # One MXU-sized GEMM for the input projection of every timestep.
+    zx = matmul_f32(xs.reshape(batch * seqlen, -1), kernel) + bias
+    zx = zx.reshape(batch, seqlen, 4 * hidden)
+    # scan over time: [T, B, 4H]
+    zx = jnp.swapaxes(zx, 0, 1)
+    if reverse:
+        zx = zx[::-1]
+
+    def step(carry, z_t):
+        h_prev, c_prev = carry
+        z = z_t + matmul_f32(h_prev, recurrent)
+        h, c = lstm_gates(z, c_prev)
+        return (h, c), h
+
+    init = (jnp.zeros((batch, hidden), xs.dtype),
+            jnp.zeros((batch, hidden), xs.dtype))
+    (h_last, _), hs = jax.lax.scan(step, init, zx)
+
+    if not return_sequences:
+        return h_last
+    if reverse:
+        hs = hs[::-1]
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def bidirectional_lstm(fwd_params, bwd_params, xs):
+    """Keras Bidirectional(merge_mode='concat') over a batch: concatenates
+    forward output with the time-realigned backward output."""
+    fwd = lstm(fwd_params, xs, reverse=False, return_sequences=True)
+    bwd = lstm(bwd_params, xs, reverse=True, return_sequences=True)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def dense(params, xs):
+    return matmul_f32(xs, params['kernel']) + params['bias']
