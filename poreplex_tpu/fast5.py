@@ -1,0 +1,250 @@
+"""FAST5 (HDF5) access layer.
+
+Covers both container layouts and both basecaller event encodings handled by
+the reference reader (poreplex/fast5_file.py):
+
+* single-read files (``UniqueGlobalKey`` + ``Raw/Reads/...``) and multi-read
+  files (``read_<id>`` groups)   [fast5_file.py:37-84]
+* raw DAC -> picoampere conversion  [fast5_file.py:122-131]
+* albacore >= 2.3 ``Events`` tables (14 columns)  [fast5_file.py:176-179]
+* guppy ``Move`` tables, including flip-flop 1-mer -> 5-mer reframing and
+  event reconstruction from block strides with a median prefilter
+  [fast5_file.py:183-230]
+* read subtree copy for FAST5 output  [fast5_file.py:232-264]
+"""
+
+import os.path
+from functools import lru_cache
+
+import h5py
+import numpy as np
+import pandas as pd
+from scipy.signal import medfilt
+
+__all__ = ['get_read_ids', 'Fast5Reader', 'DuplicatedReadError']
+
+
+class DuplicatedReadError(Exception):
+    pass
+
+
+def get_read_ids(filename, basedir=None):
+    """List (filename, read_id) pairs contained in a FAST5 file
+    (poreplex/fast5_file.py:37-58)."""
+    fast5path = os.path.join(basedir, filename) if basedir else filename
+
+    with h5py.File(fast5path, 'r') as f5:
+        if 'UniqueGlobalKey' in f5:
+            try:
+                first_read = next(iter(f5['Raw/Reads'].values()))
+                return [(filename, _decode(first_read.attrs['read_id']))]
+            except KeyError:
+                return []
+
+        return [(filename, node[5:]) for node in f5
+                if node.startswith('read_')]
+
+
+def _decode(value):
+    return value.decode() if isinstance(value, bytes) else str(value)
+
+
+class Fast5Reader:
+
+    RAWSIGNAL_PREFILTER_SIZE = 5  # guppy event reconstruction only
+
+    def __init__(self, path, read_id=None):
+        self.path = path
+        self.read_id = read_id
+        self.handle = h5py.File(path, 'r')
+
+        self.is_multiread = 'UniqueGlobalKey' not in self.handle
+        if self.is_multiread:
+            base = 'read_{}'.format(read_id)
+            self.read_node = base + '/Raw'
+            self.channel_node = base + '/channel_id'
+            self.tracking_node = base + '/tracking_id'
+            self.analyses_node = base + '/Analyses'
+        else:
+            first_read = next(iter(self.handle['Raw/Reads'].keys()))
+            self.read_node = 'Raw/Reads/' + first_read
+            self.channel_node = 'UniqueGlobalKey/channel_id'
+            self.tracking_node = 'UniqueGlobalKey/tracking_id'
+            self.analyses_node = 'Analyses'
+
+        self._load_metadata()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self):
+        if self.handle is not None:
+            self.handle.close()
+            self.handle = None
+
+    def _load_metadata(self):
+        sigattrs = self.handle[self.read_node].attrs
+        self.duration = int(sigattrs['duration'])
+        self.start_time = int(sigattrs['start_time'])
+        file_read_id = _decode(sigattrs['read_id'])
+        if self.read_id is None:
+            self.read_id = file_read_id
+        elif file_read_id != self.read_id:
+            raise ValueError('Unexpected read {} found in {}'.format(
+                file_read_id, self.path))
+
+        chanattrs = self.handle[self.channel_node].attrs
+        self.channel_number = _decode(chanattrs['channel_number'])
+        self.digitisation = float(chanattrs['digitisation'])
+        self.offset = float(chanattrs['offset'])
+        self.range = float(chanattrs['range'])
+        self.sampling_rate = float(chanattrs['sampling_rate'])
+
+        trackattrs = self.handle[self.tracking_node].attrs
+        self.run_id = _decode(trackattrs['run_id'])
+        self.sample_id = _decode(trackattrs['sample_id'])
+
+    def get_raw_data(self, start=None, end=None):
+        """Raw signal slice converted to picoamperes
+        (poreplex/fast5_file.py:122-131)."""
+        signode = self.handle[self.read_node + '/Signal']
+        if end is None or end > len(signode):
+            end = len(signode)
+        start = start or 0
+        raw = signode[start:end]
+        return np.asarray(self.range / self.digitisation * (raw + self.offset),
+                          dtype=np.float32)
+
+    def get_basecall(self, analysis_group='Basecall_1D'):
+        """Extract the newest basecall analysis with its event table
+        (poreplex/fast5_file.py:133-164). Returns None when absent."""
+        try:
+            analnode = self.handle[self.analyses_node]
+        except KeyError:
+            return None
+
+        groups = [name for name in analnode.keys()
+                  if name.startswith(analysis_group)]
+        if not groups:
+            return None
+
+        analyses = analnode[max(groups)]
+        groupno = analyses.name.rsplit('_', 1)[-1]
+        segattrs = analnode[
+            'Segmentation_{}/Summary/segmentation'.format(groupno)].attrs
+        summary = {}
+
+        fastqenc = _decode(analyses['BaseCalled_template/Fastq'][()]).split('\n')
+        summary['sequence'] = fastqenc[1]
+        summary['qstring'] = fastqenc[3]
+
+        summaryattrs = analyses[
+            'Summary/{}_template'.format(analysis_group.lower())].attrs
+        summary['block_stride'] = int(summaryattrs.get('block_stride', 15))
+        summary['sequence_length'] = int(summaryattrs['sequence_length'])
+        summary['mean_qscore'] = float(summaryattrs['mean_qscore'])
+        summary['num_events'] = int(segattrs['num_events_template'])
+        summary['first_sample_template'] = int(
+            segattrs['first_sample_template'])
+
+        summary['events'] = self._load_events(analyses, summary)
+        return summary
+
+    def _load_events(self, analyses, summary):
+        """Dispatch between albacore Events and guppy Move encodings
+        (poreplex/fast5_file.py:166-181)."""
+        if 'BaseCalled_template/Events' in analyses:
+            evdf = pd.DataFrame(analyses['BaseCalled_template/Events'][()])
+        elif 'BaseCalled_template/Move' in analyses:
+            evdf = self._events_from_moves(analyses, summary)
+        else:
+            raise Exception(
+                "Neither `Events' or `Move' table found in the basecall.")
+
+        if len(evdf.columns) <= 3 and 'move' in evdf.columns:  # guppy
+            return self._reconstruct_guppy_events(evdf, summary)
+        elif len(evdf.columns) == 14:  # albacore >= 2.3.0
+            return evdf
+        raise Exception('Unsupported event table found.')
+
+    def _events_from_moves(self, analyses, summary):
+        """Rebuild a minimal event table from a guppy Move table with the
+        flip-flop 1-mer -> 5-mer reframing (poreplex/fast5_file.py:183-208)."""
+        moves = analyses['BaseCalled_template/Move'][()]
+        pos = moves.cumsum() - 1
+        kmer_size = len(summary['sequence']) - int(moves.sum()) + 1
+        revseq = summary['sequence'][::-1].replace('U', 'T')
+        qual = 1 - 10 ** -(
+            (np.frombuffer(summary['qstring'].encode(), 'B') - 33) / 10)
+
+        if kmer_size == 5:       # older guppy RNN models
+            posshift = 2
+        elif kmer_size == 1:     # flip-flop models emit single bases
+            revseq = '__' + revseq + '__'
+            posshift = 0
+        else:
+            raise Exception('Move table is encoded with an unknown kmer-size.')
+
+        kmers = lru_cache(3)(lambda p: revseq[int(p):int(p) + 5])
+        quals = lru_cache(3)(lambda p: qual[int(p) + posshift])
+
+        return pd.DataFrame({
+            'model_state': np.vectorize(kmers)(pos),
+            'p_model_state': np.vectorize(quals)(pos),
+            'move': moves,
+        })
+
+    def _reconstruct_guppy_events(self, events, summary):
+        """Derive per-event start/mean/stdv/length from raw signal blocks
+        (poreplex/fast5_file.py:210-230)."""
+        first_sample = summary['first_sample_template']
+        block_stride = summary['block_stride']
+        last_sample = first_sample + block_stride * len(events)
+
+        events['start'] = np.arange(first_sample, last_sample, block_stride)
+
+        rawdata = self.get_raw_data(first_sample, last_sample)
+        rawdata = medfilt(rawdata, self.RAWSIGNAL_PREFILTER_SIZE)
+        if len(rawdata) % block_stride > 0:
+            rawdata = np.pad(rawdata,
+                             [0, block_stride - len(rawdata) % block_stride],
+                             'constant', constant_values=np.nan)
+        if len(rawdata) // block_stride != len(events):
+            raise Exception(
+                'Numbers of events and raw data strides does not match.')
+
+        by_block = rawdata.reshape([len(events), block_stride])
+        events['mean'] = by_block.mean(axis=1)
+        events['stdv'] = by_block.std(axis=1)
+        events['length'] = block_stride
+        return events
+
+    def copyto(self, dstfile):
+        """Copy this read's subtree into a (multi-read) output FAST5
+        (poreplex/fast5_file.py:232-264)."""
+        nodepath = 'read_' + self.read_id
+
+        if self.is_multiread:
+            try:
+                dstfile.copy(self.handle[nodepath], dstfile, nodepath)
+                return
+            except (RuntimeError, ValueError) as exc:
+                if 'already exists' in str(exc):
+                    raise DuplicatedReadError(str(exc))
+                raise
+
+        if nodepath in dstfile:
+            raise DuplicatedReadError(
+                "Duplicated read '{}' found.".format(self.read_id))
+
+        dstgrp = dstfile.create_group(nodepath)
+        dstgrp.attrs['run_id'] = self.run_id
+        dstgrp.copy(self.handle[self.read_node], 'Raw')
+        for grpname, grpobj in self.handle['UniqueGlobalKey'].items():
+            dstgrp.copy(grpobj, dstgrp, grpname)
+        for grpname, grpobj in self.handle.items():
+            if grpname not in ('Raw', 'UniqueGlobalKey'):
+                dstgrp.copy(grpobj, grpname)

@@ -172,6 +172,7 @@ def compact_peaks(peaks_short, peaks_long, max_peaks):
     the same timestep, matching the C code's inner detector loop), keeping
     only positions > 0, compacted to [B, max_peaks] with -1 padding."""
     batch, seqlen = peaks_short.shape
+    max_peaks = min(max_peaks, 2 * seqlen)
     inter = jnp.stack([peaks_short, peaks_long], axis=2).reshape(
         batch, 2 * seqlen)
     validp = inter > 0

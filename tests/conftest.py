@@ -18,6 +18,18 @@ import pathlib
 import numpy as np
 import pytest
 
+# In this environment the 'axon' TPU plugin registers itself regardless of
+# JAX_PLATFORMS, and jax.devices() returns the real TPU. Force all test
+# computation onto the virtual 8-device CPU backend explicitly.
+import jax
+
+jax.config.update('jax_default_device', jax.devices('cpu')[0])
+
+
+@pytest.fixture(scope='session')
+def cpu_devices():
+    return jax.devices('cpu')
+
 TESTS_DIR = pathlib.Path(__file__).parent
 GOLDEN_DIR = TESTS_DIR / 'golden'
 PRESETS_DIR = TESTS_DIR.parent / 'poreplex_tpu' / 'presets'
