@@ -1,0 +1,443 @@
+"""Per-batch analysis driver: host orchestration of the batched device
+stages, with the reference's per-read control flow and status lattice
+(poreplex/signal_analyzer.py:61-286) re-expressed as batch phases:
+
+  A  host FAST5 load (metadata, raw pA signal, pooled head + body)
+  B  device stage 1: scaler + QC + scaling + Viterbi + extents + demux NN
+  C  host: segments/dumps/gates; batched poly(A) rounds (device kernels);
+     basecall event loading; adapter trim; batched unsplit detection
+  D  demux resolution from the stage-1 probabilities
+  E  report dicts
+
+Each read can stop at any phase with a status from the reference's
+taxonomy; later phases skip stopped reads exactly like the sequential
+implementation did.
+"""
+
+import os
+import sys
+import traceback
+
+import numpy as np
+import pandas as pd
+
+from .. import fast5
+from .engine import DeviceEngine
+from .read import ReadRecord
+from .polya import PolyaAnalyzer
+from .unsplit import UnsplitReadDetector
+
+
+class SignalAnalysisError(Exception):
+    pass
+
+
+class BatchAnalyzer:
+    """Holds all models/engine state; reused across batches (device-resident
+    weights replace the reference's per-worker persistence hack,
+    poreplex/worker_persistence.py:35-90)."""
+
+    def __init__(self, config):
+        self.config = config
+        self.inputdir = config['inputdir']
+        self.stride = config['signal_processing']['rough_signal_stride']
+        self.engine = DeviceEngine(config)
+
+        kmermodel = pd.read_csv(config['kmer_model'], header=0, index_col=0,
+                                sep='\t')
+        self.kmermodel = kmermodel
+        self.kmersize = len(kmermodel.index[0])
+
+        self.polya_analyzer = (PolyaAnalyzer(config['polya_dwell'])
+                               if config['measure_polya'] else None)
+        self.unsplit_detector = (
+            UnsplitReadDetector(config, self.engine.unsplitmodel)
+            if config['filter_unsplit_reads'] else None)
+
+        if config['albacore_onthefly']:
+            from ..basecall_albacore import AlbacoreBroker
+            self.albacore = AlbacoreBroker(config['albacore_configuration'],
+                                           self.kmersize)
+        else:
+            self.albacore = None
+
+        if config['barcoding']:
+            self.demux_threshold = self.engine.demux.score_threshold(
+                config['barcoding_quality_filter'])
+
+    # ------------------------------------------------------------------
+    def process_batch(self, batchid, reads):
+        """reads: list of (fast5_filename, read_id).
+        Returns (results, aux) where results is the list of report dicts and
+        aux carries dump payloads for the io layer."""
+        results = []
+        records = []
+        aux = {'adapter_dumps': [], 'event_dumps': []}
+
+        # ---- PHASE A: host load ----
+        for f5file, read_id in reads:
+            if not os.path.exists(os.path.join(self.inputdir, f5file)):
+                results.append({'filename': f5file, 'read_id': read_id,
+                                'status': 'disappeared'})
+                continue
+            rec = ReadRecord(f5file, self.inputdir, read_id)
+            try:
+                self._load_read(rec)
+            except Exception as exc:
+                results.append(self._pack_unhandled_exception(
+                    f5file, read_id, exc))
+                continue
+            if rec.is_stopped():
+                results.append(rec.report())
+            else:
+                records.append(rec)
+
+        if not records:
+            return results, aux
+
+        # ---- PHASE B: device stage 1 ----
+        stage1 = self._run_stage1(records)
+
+        active = []
+        for i, rec in enumerate(records):
+            if not stage1['qc_ok'][i]:
+                rec.set_status('scaling_qc_fail', stop=True)
+                continue
+            rec.set_scaling_params(
+                np.asarray(stage1['scaling'][i], np.float32))
+            rec.segments = self.engine.segments_for_read(
+                stage1['first'][i], stage1['last'][i], stage1['present'][i])
+            active.append((i, rec))
+
+        # ---- PHASE C: per-read flow with batched sub-phases ----
+        failed = {}     # rec -> SignalAnalysisError status
+
+        def fail(rec, status):
+            failed[rec] = status
+
+        polya_items = []
+        demux_slots = {}
+        survivors = []
+        for i, rec in enumerate(records):
+            if rec.is_stopped() or rec in failed:
+                continue
+            segments = rec.segments
+            if 'adapter' not in segments:
+                fail(rec, 'adapter_not_detected')
+                continue
+
+            if self.config['dump_adapter_signals']:
+                self._dump_adapter_signal(rec, stage1['scaling'][i], aux)
+
+            if self.config['barcoding'] and stage1['demux_ok'][i]:
+                demux_slots[rec] = stage1['demux_probs'][i]
+
+            if self.config['measure_polya']:
+                rec.scaled_raw = self._scaled_raw_signal(rec)
+                if 'polya-tail' in segments:
+                    rough_range = segments['polya-tail']
+                else:
+                    rough_range = (segments['adapter'][1] + 1, None)
+                polya_items.append((rec, rough_range))
+            survivors.append(rec)
+
+        if polya_items:
+            try:
+                self.polya_analyzer.process_batch(polya_items, self.stride)
+            except Exception:
+                # batched poly(A) failure must not take down the whole batch
+                traceback.print_exc()
+
+        # basecall events + trim
+        unsplit_jobs = []       # (rec, payload_start, windows)
+        for rec in survivors:
+            if rec in failed:
+                continue
+            try:
+                events = self._load_events(rec)
+                if self.config['dump_basecalls']:
+                    self._dump_events(rec, events, aux)
+                if self.config['trim_adapter']:
+                    self._trim_adapter(rec, events)
+                if self.config['filter_unsplit_reads']:
+                    payload_start, windows = \
+                        self.unsplit_detector.collect_windows(
+                            rec, rec.segments, self.stride)
+                    if windows:
+                        unsplit_jobs.append((rec, payload_start, windows))
+            except SignalAnalysisError as exc:
+                fail(rec, exc.args[0])
+            except Exception as exc:
+                err = self._pack_unhandled_exception(
+                    rec.filename, rec.read_id, exc)
+                rec.set_error(err['status'], err['error_message'])
+
+        # batched unsplit Viterbi
+        if unsplit_jobs:
+            flat = [(rec, sel) for rec, _, windows in unsplit_jobs
+                    for sel in windows]
+            paths = self.unsplit_detector.decode_windows_batched(flat)
+            cursor = 0
+            for rec, payload_start, windows in unsplit_jobs:
+                if rec in failed or rec.error_message:
+                    cursor += len(windows)
+                    continue
+                wpaths = paths[cursor:cursor + len(windows)]
+                cursor += len(windows)
+                try:
+                    if self.unsplit_detector.analyze_read(
+                            rec, payload_start, windows, wpaths):
+                        fail(rec, 'unsplit_read')
+                except Exception as exc:
+                    err = self._pack_unhandled_exception(
+                        rec.filename, rec.read_id, exc)
+                    rec.set_error(err['status'], err['error_message'])
+
+        # sequence length filter + labels
+        for rec in survivors:
+            if rec in failed or rec.error_message:
+                continue
+            if rec.sequence is not None:
+                readlength = len(rec.sequence[0]) - rec.sequence[2]
+                if readlength < self.config['minimum_sequence_length']:
+                    fail(rec, 'sequence_too_short')
+
+        for rec, status in failed.items():
+            outname = 'artifact' if status in ('unsplit_read',) else 'fail'
+            rec.set_status(status, stop=True)
+            rec.set_label(outname)
+        for rec in survivors:
+            if rec not in failed and not rec.error_message:
+                rec.set_label('pass')
+
+        # ---- PHASE D: demux resolution ----
+        if self.config['barcoding']:
+            decoys = self.engine.demux.number_of_decoy_labels
+            for rec, probs in demux_slots.items():
+                bcid = int(np.argmax(probs)) - decoys
+                score = float(np.max(probs))
+                effective = (bcid if bcid >= 0 and
+                             score >= self.demux_threshold else None)
+                calib = self.engine.demux.lookup_calibrated_phred_score(score)
+                rec.set_barcode(effective, int(bcid), calib)
+
+        # ---- PHASE E: reports ----
+        for rec in records:
+            results.append(rec.report())
+            rec.clear_cache()
+            rec.scaled_raw = None
+        return results, aux
+
+    # ------------------------------------------------------------------
+    def _load_read(self, rec):
+        try:
+            f5 = fast5.Fast5Reader(rec.fullpath, rec.read_id)
+        except Exception:
+            traceback.print_exc()
+            rec.set_status('irregular_fast5', stop=True)
+            return
+        rec.fast5 = f5
+        rec.sampling_rate = f5.sampling_rate
+        rec.duration = f5.duration
+        rec.channel = f5.channel_number
+        rec.start_time_s = round(f5.start_time / f5.sampling_rate, 3)
+        rec.run_id = f5.run_id
+        rec.sample_id = f5.sample_id
+
+        scaler = self.engine.scaler
+        rec.head = self._load_padded_signal_head(rec, scaler.input_length,
+                                                 scaler.input_stride,
+                                                 scaler.min_length)
+        if rec.head is None:
+            rec.set_status('scaler_signal_too_short', stop=True)
+            f5.close()
+            return
+
+        rec.raw_signal = f5.get_raw_data()
+        pooled = rec.raw_signal[:len(rec.raw_signal) -
+                                len(rec.raw_signal) % self.stride]
+        rec.pooled = pooled.reshape(-1, self.stride).mean(
+            axis=1, dtype=np.float32)
+
+    def _load_padded_signal_head(self, rec, length_limit, stride, min_length):
+        """First <=30k samples, stride-pooled, left-zero-padded
+        (poreplex/signal_loader.py:212-231)."""
+        sigload_length = min(length_limit, rec.fast5.duration)
+        sigload_length -= sigload_length % stride
+        signal = rec.fast5.get_raw_data(end=sigload_length)
+        if len(signal) % stride > 0:
+            signal = signal[:-(len(signal) % stride)]
+        if len(signal) < min_length:
+            return None
+        means = signal.reshape(-1, stride).mean(axis=1, dtype=np.float32)
+        limit = length_limit // stride
+        if len(means) < limit:
+            means = np.pad(means, [limit - len(means), 0], 'constant')
+        return means
+
+    def _run_stage1(self, records):
+        """Pad to the fixed device batch size so each config compiles once;
+        larger batches run in chunks."""
+        B = int(self.config.get('device_batch_size', 128))
+        scaler = self.engine.scaler
+        frames = self.engine.seg_frames
+        chunks = []
+        for base in range(0, len(records), B):
+            chunk = records[base:base + B]
+            heads = np.zeros((B, scaler.pooled_length), np.float32)
+            head_valid = np.zeros(B, bool)
+            pooled = np.zeros((B, frames), np.float32)
+            pooled_len = np.zeros(B, np.int32)
+            for i, rec in enumerate(chunk):
+                heads[i] = rec.head
+                head_valid[i] = True
+                n = min(len(rec.pooled), frames)
+                pooled[i, :n] = rec.pooled[:n]
+                pooled_len[i] = n
+            chunks.append(self.engine.run_stage1(heads, head_valid, pooled,
+                                                 pooled_len))
+        n = len(records)
+        return {k: np.concatenate([c[k] for c in chunks])[:n]
+                for k in chunks[0]}
+
+    def _scaled_raw_signal(self, rec):
+        scale, shift = rec.scaling_params
+        return np.asarray(rec.raw_signal * scale + shift, np.float32)
+
+    def _scaled_pooled_signal(self, rec, scaling):
+        scale, shift = scaling
+        return rec.pooled * float(scale) + float(shift)
+
+    # ------------------------------------------------------------------
+    def _load_events(self, rec):
+        """(poreplex/signal_analyzer.py:311-326)"""
+        if self.albacore is not None:
+            events = self._call_albacore(rec)
+        else:
+            events = self._load_fast5_events(rec)
+
+        if rec.scaling_params is None:
+            raise Exception('Signal scaling is not available yet.')
+        scale, shift = rec.scaling_params
+        events['scaled_mean'] = events['mean'] * float(scale) + float(shift)
+        events['pos'] = np.cumsum(events['move'])
+        duration = np.hstack(
+            (np.diff(events['start']), [1])).astype(np.int64)
+        events['end'] = events['start'] + duration
+        rec.events = events
+        return events
+
+    def _load_fast5_events(self, rec):
+        bcall = rec.fast5.get_basecall() if rec.fast5 else None
+        if bcall is None:
+            raise SignalAnalysisError('not_basecalled')
+        rec.sequence_length = bcall['sequence_length']
+        rec.mean_qscore = bcall['mean_qscore']
+        rec.num_events = bcall['num_events']
+        rec.sequence = (bcall['sequence'], bcall['qstring'], 0)
+        return bcall['events']
+
+    def _call_albacore(self, rec):
+        rawdata = rec.fast5.get_raw_data()
+        bcall = self.albacore.basecall(
+            rawdata, rec.fast5,
+            os.path.basename(rec.filename).rsplit('.', 1)[0])
+        if bcall is None:
+            raise SignalAnalysisError('not_basecalled')
+        rec.sequence_length = bcall['sequence_length']
+        rec.mean_qscore = bcall['mean_qscore']
+        rec.num_events = bcall['called_events']
+        rec.sequence = (bcall['sequence'], bcall['qstring'], 0)
+        return bcall['events']
+
+    def _trim_adapter(self, rec, events):
+        """Replicates poreplex/signal_analyzer.py:328-344 including the
+        early return when a sequence exists (which makes signal-guided
+        trimming a no-op in the reference, see SURVEY.md §3.2); set
+        ``fix_trim_adapter: true`` in the preset to enable the evidently
+        intended behavior."""
+        sequence = rec.sequence
+        if sequence is not None and not self.config.get('fix_trim_adapter'):
+            return
+        if sequence is None:
+            return
+
+        adapter_end = rec.segments['adapter'][1] * self.stride
+        kmer_lead_size = self.kmersize // 2
+        sel = events['start'] <= adapter_end
+        if sel.sum() <= 0:
+            return
+        adapter_basecall_length = int(events['move'][sel].sum()) + \
+            kmer_lead_size
+        if adapter_basecall_length > len(sequence[0]):
+            raise SignalAnalysisError('basecall_table_incomplete')
+        elif adapter_basecall_length > 0:
+            rec.set_adapter_trimming_length(adapter_basecall_length)
+
+    # ------------------------------------------------------------------
+    def _dump_adapter_signal(self, rec, scaling, aux):
+        a0, a1 = rec.segments['adapter']
+        signal = self._scaled_pooled_signal(rec, scaling)[a0:a1 + 1]
+        if len(signal) > 0:
+            aux['adapter_dumps'].append(
+                (rec.read_id, np.asarray(signal, np.float32),
+                 a0 * self.stride, (a1 + 1) * self.stride))
+
+    def _dump_events(self, rec, events, aux):
+        attrs = []
+        if rec.scaling_params is not None:
+            attrs.append(('signal_scale', rec.scaling_params[0]))
+            attrs.append(('signal_shift', rec.scaling_params[1]))
+        if 'adapter' in rec.segments:
+            attrs.append(('adapter_begin',
+                          np.uint32(rec.segments['adapter'][0] * self.stride)))
+            attrs.append(('adapter_end',
+                          np.uint32((rec.segments['adapter'][1] + 1) *
+                                    self.stride)))
+        if rec.polya is not None:
+            if 'polya-tail' in rec.segments:
+                attrs.append(('polya_end_debug',
+                              np.uint32((rec.segments['polya-tail'][1] + 1) *
+                                        self.stride)))
+            attrs.append(('polya_begin', np.uint32(rec.polya['begin'])))
+            attrs.append(('polya_end', np.uint32(rec.polya['end'])))
+            attrs.append(('spikes', repr(rec.polya['spikes']).encode()))
+        aux['event_dumps'].append((rec.read_id, events.copy(), attrs))
+
+    def _pack_unhandled_exception(self, f5filename, read_id, exc):
+        exc_tb = sys.exc_info()[2]
+        srcfilename = os.path.split(
+            exc_tb.tb_frame.f_code.co_filename)[-1] if exc_tb else '?'
+        errmsg = ('[{src}:{line}] ({f5}#{rid}) Unhandled exception '
+                  '{name}: {msg}\n{tb}'.format(
+                      src=srcfilename,
+                      line=exc_tb.tb_lineno if exc_tb else 0,
+                      f5=f5filename, rid=read_id, name=type(exc).__name__,
+                      msg=str(exc), tb=traceback.format_exc()))
+        return {'filename': f5filename, 'read_id': read_id,
+                'status': 'unknown_error', 'error_message': errmsg}
+
+
+def process_batch(batchid, reads, config, _analyzer_cache={}):
+    """Top-level batch entry with the reference's error packing contract
+    (poreplex/signal_analyzer.py:46-58): returns the result list, or a
+    (-1, message, traceback) tuple on an unhandled batch-level error.
+    The heavyweight BatchAnalyzer persists across calls."""
+    try:
+        key = id(config)
+        analyzer = _analyzer_cache.get(key)
+        if analyzer is None:
+            analyzer = BatchAnalyzer(config)
+            _analyzer_cache.clear()
+            _analyzer_cache[key] = analyzer
+        results, aux = analyzer.process_batch(batchid, reads)
+        return results, aux
+    except Exception as exc:
+        exc_tb = sys.exc_info()[2]
+        filename = os.path.split(
+            exc_tb.tb_frame.f_code.co_filename)[-1] if exc_tb else '?'
+        return (-1, '[{filename}:{lineno}] Unhandled exception {name}: {msg}'
+                .format(filename=filename,
+                        lineno=exc_tb.tb_lineno if exc_tb else 0,
+                        name=type(exc).__name__, msg=str(exc)),
+                traceback.format_exc())
