@@ -61,6 +61,13 @@ def get_library():
     lib.pptpu_to_pa.argtypes = [
         ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_double,
         ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_float)]
+    lib.pptpu_viterbi.restype = ctypes.c_double
+    lib.pptpu_viterbi.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return _lib
 
@@ -98,6 +105,36 @@ def detect_events(signal, window_length1=7, window_length2=20, threshold1=3,
     out['mean'] = means[:n]
     out['stdv'] = stdvs[:n]
     return out
+
+
+def viterbi(obs, log_start, log_trans, mus, sigmas, logws):
+    """Native GMM-HMM Viterbi for one sequence (CPU baseline / host
+    fallback of ops.viterbi). Returns (path int32 [T], logp)."""
+    lib = get_library()
+    obs = np.ascontiguousarray(obs, np.float32)
+    if lib is None:
+        from .refimpl.hmm import viterbi_path
+        path, logp = viterbi_path(obs, log_start, log_trans, mus, sigmas,
+                                  logws)
+        return path.astype(np.int32), float(logp)
+    S, K = np.asarray(mus).shape
+    # keep the converted arrays alive through the call
+    ls, lt = np.ascontiguousarray(log_start, np.float64), \
+        np.ascontiguousarray(log_trans, np.float64)
+    mu, sg = np.ascontiguousarray(mus, np.float64), \
+        np.ascontiguousarray(sigmas, np.float64)
+    lw = np.ascontiguousarray(np.where(np.isfinite(logws), logws, -1e300),
+                              np.float64)
+    path = np.empty(len(obs), np.int32)
+    logp = lib.pptpu_viterbi(
+        _fptr(obs), len(obs), S, K,
+        ls.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lt.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        mu.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sg.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lw.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return path, float(logp)
 
 
 def pool_mean(signal, stride):

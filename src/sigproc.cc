@@ -184,4 +184,87 @@ void pptpu_to_pa(const int16_t* raw, int64_t n, double range,
   }
 }
 
+// Gaussian-mixture HMM Viterbi decode for one observation sequence.
+// Emissions: per state, ncomp components with (mu, sigma, logweight) packed
+// as [state*ncomp + c]. log_trans is row-major [from*nstates + to].
+// Writes the decoded state path into path[n]. Returns the path log-prob.
+// Serves as the optimized CPU baseline for the batched TPU Viterbi kernel
+// (the reference used pomegranate's Cython Viterbi per read).
+double pptpu_viterbi(const float* obs, int64_t n, int64_t nstates,
+                     int64_t ncomp, const double* log_start,
+                     const double* log_trans, const double* mus,
+                     const double* sigmas, const double* logws,
+                     int32_t* path) {
+  if (n <= 0) return 0.0;
+  const double neg_inf = -1e300;
+  const double log_2pi = std::log(2.0 * 3.14159265358979323846);
+
+  std::vector<double> score(nstates), next(nstates);
+  std::vector<int32_t> bp(static_cast<std::size_t>(n) * nstates);
+  std::vector<double> emis(nstates);
+
+  auto emit = [&](double x) {
+    for (int64_t s = 0; s < nstates; ++s) {
+      double best = neg_inf, acc = 0.0;
+      // logsumexp over components (max-shifted)
+      for (int64_t c = 0; c < ncomp; ++c) {
+        const double lw = logws[s * ncomp + c];
+        if (lw <= neg_inf) continue;
+        const double z = (x - mus[s * ncomp + c]) / sigmas[s * ncomp + c];
+        const double lp = lw - std::log(sigmas[s * ncomp + c]) -
+                          0.5 * log_2pi - 0.5 * z * z;
+        if (lp > best) best = lp;
+      }
+      if (best <= neg_inf) {
+        emis[s] = neg_inf;
+        continue;
+      }
+      for (int64_t c = 0; c < ncomp; ++c) {
+        const double lw = logws[s * ncomp + c];
+        if (lw <= neg_inf) continue;
+        const double z = (x - mus[s * ncomp + c]) / sigmas[s * ncomp + c];
+        const double lp = lw - std::log(sigmas[s * ncomp + c]) -
+                          0.5 * log_2pi - 0.5 * z * z;
+        acc += std::exp(lp - best);
+      }
+      emis[s] = best + std::log(acc);
+    }
+  };
+
+  emit(obs[0]);
+  for (int64_t s = 0; s < nstates; ++s) score[s] = log_start[s] + emis[s];
+
+  for (int64_t t = 1; t < n; ++t) {
+    emit(obs[t]);
+    for (int64_t s = 0; s < nstates; ++s) {
+      double best = neg_inf;
+      int32_t arg = 0;
+      for (int64_t p = 0; p < nstates; ++p) {
+        const double cand = score[p] + log_trans[p * nstates + s];
+        if (cand > best) {
+          best = cand;
+          arg = static_cast<int32_t>(p);
+        }
+      }
+      next[s] = best + emis[s];
+      bp[t * nstates + s] = arg;
+    }
+    score.swap(next);
+  }
+
+  double best = neg_inf;
+  int32_t arg = 0;
+  for (int64_t s = 0; s < nstates; ++s) {
+    if (score[s] > best) {
+      best = score[s];
+      arg = static_cast<int32_t>(s);
+    }
+  }
+  path[n - 1] = arg;
+  for (int64_t t = n - 1; t > 0; --t) {
+    path[t - 1] = bp[t * nstates + path[t]];
+  }
+  return best;
+}
+
 }  // extern "C"

@@ -1,0 +1,114 @@
+"""Batched poly(A) orchestration (pipeline/polya.py) vs the sequential
+recursive oracle (refimpl/polya_analyzer.py) on simulated reads covering
+plain tails, spiky tails, open-ended extension, and shifted signals."""
+
+import numpy as np
+import pytest
+
+from poreplex_tpu.config import load_preset
+from poreplex_tpu.pipeline.polya import PolyaAnalyzer
+from poreplex_tpu.refimpl.polya_analyzer import PolyaOracle
+
+STRIDE = 15
+RATE = 3012.0
+
+
+class FakeRead:
+    def __init__(self, scaled_raw):
+        self.scaled_raw = np.asarray(scaled_raw, np.float32)
+        self.sampling_rate = RATE
+        self.polya = None
+
+    def set_polya_tail(self, info):
+        self.polya = info
+
+
+def build_signal(rng, adapter_len=4000, polya_len=2500, tail_level=108.95,
+                 spikes=0, transcript_len=6000):
+    parts = [rng.normal(80.5, 7.4, adapter_len)]
+    tail = rng.normal(tail_level, 1.8, polya_len)
+    for _ in range(spikes):
+        at = rng.randint(polya_len // 4, 3 * polya_len // 4)
+        w = rng.randint(25, 70)
+        tail[at:at + w] -= 24.0
+    parts.append(tail)
+    parts.append(np.repeat(rng.normal(96, 11, transcript_len // 35 + 1), 35)
+                 [:transcript_len] + rng.normal(0, 2, transcript_len))
+    return np.concatenate(parts).astype(np.float32)
+
+
+def rough_range_for(adapter_len, polya_len, with_end=True):
+    begin = adapter_len // STRIDE
+    if not with_end:
+        return (begin, None)
+    return (begin, (adapter_len + polya_len) // STRIDE)
+
+
+@pytest.fixture(scope='module')
+def polya_config():
+    return load_preset()['polya_dwell']
+
+
+@pytest.mark.parametrize('case', [
+    dict(seed=0, spikes=0),
+    dict(seed=1, spikes=2),
+    dict(seed=2, spikes=0, polya_len=900),
+    dict(seed=3, spikes=1, polya_len=5000),          # long tail
+    dict(seed=4, spikes=0, tail_level=100.0),        # shifted level
+    dict(seed=5, spikes=0, with_end=False),          # no rough end
+    dict(seed=6, spikes=3, polya_len=3500),
+])
+def test_batch_matches_oracle(polya_config, case):
+    case = dict(case)
+    seed = case.pop('seed')
+    with_end = case.pop('with_end', True)
+    rng = np.random.RandomState(seed)
+    adapter_len = case.pop('adapter_len', 4000)
+    polya_len = case.get('polya_len', 2500)
+    sig = build_signal(rng, adapter_len=adapter_len, **case)
+    rough = rough_range_for(adapter_len, polya_len, with_end)
+
+    read = FakeRead(sig)
+    analyzer = PolyaAnalyzer(polya_config)
+    analyzer.process_batch([(read, rough)], STRIDE)
+
+    oracle = PolyaOracle(polya_config)
+    oracle(sig, RATE, rough, STRIDE)
+
+    if oracle.result is None:
+        assert read.polya is None, (
+            'batch found a tail the oracle did not: {}'.format(read.polya))
+        return
+    assert read.polya is not None, 'oracle found a tail, batch did not'
+    assert read.polya['begin'] == oracle.result['begin']
+    assert read.polya['end'] == oracle.result['end']
+    assert abs(read.polya['dwell_time'] -
+               oracle.result['dwell_time']) < 1e-6
+    assert len(read.polya['spikes']) == len(oracle.result['spikes'])
+    for got, exp in zip(read.polya['spikes'], oracle.result['spikes']):
+        assert got[0] == exp[0]
+        np.testing.assert_allclose(got[1:], exp[1:], atol=1e-3)
+
+
+def test_batch_of_mixed_reads(polya_config):
+    """Several heterogeneous reads in ONE batch must each match their own
+    sequential oracle result."""
+    rng = np.random.RandomState(10)
+    items, oracles = [], []
+    analyzer = PolyaAnalyzer(polya_config)
+    for k in range(6):
+        sig = build_signal(rng, polya_len=800 + 700 * k, spikes=k % 3)
+        rough = rough_range_for(4000, 800 + 700 * k)
+        read = FakeRead(sig)
+        items.append((read, rough))
+        oracle = PolyaOracle(polya_config)
+        oracle(sig, RATE, rough, STRIDE)
+        oracles.append(oracle)
+    analyzer.process_batch(items, STRIDE)
+    for (read, _), oracle in zip(items, oracles):
+        if oracle.result is None:
+            assert read.polya is None
+        else:
+            assert read.polya is not None
+            assert read.polya['begin'] == oracle.result['begin']
+            assert read.polya['end'] == oracle.result['end']
