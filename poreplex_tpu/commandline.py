@@ -48,6 +48,8 @@ def create_output_directories(config):
     """(poreplex/commandline.py:90-135)"""
     outputdir = config['outputdir']
     existing = os.listdir(outputdir)
+    if existing and config.get('resume'):
+        existing = []           # keep previous outputs; manifest dedups
     if existing:
         while config['interactive']:
             try:
@@ -203,6 +205,7 @@ def main(args):
     config['minimum_sequence_length'] = args.minimum_length
     config['minimap2_index'] = args.align if args.align else None
     config['device_batch_size'] = args.device_batch_size
+    config['resume'] = args.resume
     config['io_threads'] = 2
     config['nobasecall_stop_trigger'] = 1000
     (config['label_names'], config['barcode_names'],
@@ -332,6 +335,9 @@ def __main__():
     group.add_argument('--cpu', default=False, action='store_true',
                        help='run device compute on the host CPU backend '
                             'instead of TPU')
+    group.add_argument('--resume', default=False, action='store_true',
+                       help='keep the output directory and skip reads '
+                            'recorded in its processed-read manifest')
     group.add_argument('--version', action='version',
                        version=VERSION_STRING)
     group.add_argument('-h', '--help', action='help',

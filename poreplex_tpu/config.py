@@ -107,6 +107,7 @@ DEFAULT_OPTIONS = dict(
     minimap2_index=None,
     nobasecall_stop_trigger=1000,
     # TPU-specific knobs (no reference equivalent)
+    resume=False,
     device_batch_size=128,
     use_tpu=True,
     mesh_shape=None,         # None => all local devices on a 1-D 'batch' mesh

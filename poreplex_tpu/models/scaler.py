@@ -60,8 +60,8 @@ class ScalerModel:
     def _forward(self, signal_heads):
         """signal_heads: [B, pooled_length] f32 -> (params [B,2], qc_ok [B])."""
         x = signal_heads[..., None]
-        h = rnn.lstm(self.params['lstm1'], x, return_sequences=True)
-        h = rnn.lstm(self.params['lstm2'], h, return_sequences=False)
+        # both LSTM layers fused into one scan (ops/rnn.py)
+        h = rnn.lstm2_stacked(self.params['lstm1'], self.params['lstm2'], x)
         pred = rnn.dense(self.params['dense'], h)          # [B, 2]
         scaling = pred * self._xfrm[:, 0] + self._xfrm[:, 1]
         qc_ok = jnp.all((scaling >= self._ranges[:, 0]) &

@@ -50,12 +50,13 @@ def lstm_gates(z, c_prev):
     return h, c
 
 
-def lstm(params, xs, reverse=False, return_sequences=True):
+def lstm(params, xs, reverse=False, return_sequences=True, unroll=8):
     """Run an LSTM over a batch of sequences.
 
     params: dict with 'kernel' [I, 4H], 'recurrent' [H, 4H], 'bias' [4H]
     xs: [B, T, I] input batch
     Returns [B, T, H] if return_sequences else [B, H] (last step).
+    ``unroll`` amortizes the TPU loop overhead across scan iterations.
     """
     kernel = params['kernel']
     recurrent = params['recurrent']
@@ -79,7 +80,7 @@ def lstm(params, xs, reverse=False, return_sequences=True):
 
     init = (jnp.zeros((batch, hidden), xs.dtype),
             jnp.zeros((batch, hidden), xs.dtype))
-    (h_last, _), hs = jax.lax.scan(step, init, zx)
+    (h_last, _), hs = jax.lax.scan(step, init, zx, unroll=unroll)
 
     if not return_sequences:
         return h_last
@@ -88,11 +89,68 @@ def lstm(params, xs, reverse=False, return_sequences=True):
     return jnp.swapaxes(hs, 0, 1)
 
 
-def bidirectional_lstm(fwd_params, bwd_params, xs):
+def lstm2_stacked(params1, params2, xs, unroll=8):
+    """Two stacked LSTM layers fused into ONE scan (layer 2 consumes layer
+    1's output at the same timestep), returning layer 2's final hidden
+    state. Halves the sequential loop overhead vs two scans and never
+    materializes the [B, T, H] intermediate. Numerically identical to
+    lstm(p2, lstm(p1, xs), return_sequences=False)."""
+    k1, r1, b1 = params1['kernel'], params1['recurrent'], params1['bias']
+    k2, r2, b2 = params2['kernel'], params2['recurrent'], params2['bias']
+    batch, seqlen, _ = xs.shape
+    h1n, h2n = r1.shape[0], r2.shape[0]
+
+    zx = matmul_f32(xs.reshape(batch * seqlen, -1), k1) + b1
+    zx = jnp.swapaxes(zx.reshape(batch, seqlen, 4 * h1n), 0, 1)
+
+    def step(carry, z_t):
+        h1, c1, h2, c2 = carry
+        z1 = z_t + matmul_f32(h1, r1)
+        h1, c1 = lstm_gates(z1, c1)
+        z2 = matmul_f32(h1, k2) + b2 + matmul_f32(h2, r2)
+        h2, c2 = lstm_gates(z2, c2)
+        return (h1, c1, h2, c2), None
+
+    init = tuple(jnp.zeros((batch, n), xs.dtype)
+                 for n in (h1n, h1n, h2n, h2n))
+    (h1, c1, h2, c2), _ = jax.lax.scan(step, init, zx, unroll=unroll)
+    return h2
+
+
+def bidirectional_lstm(fwd_params, bwd_params, xs, unroll=8):
     """Keras Bidirectional(merge_mode='concat') over a batch: concatenates
-    forward output with the time-realigned backward output."""
-    fwd = lstm(fwd_params, xs, reverse=False, return_sequences=True)
-    bwd = lstm(bwd_params, xs, reverse=True, return_sequences=True)
+    forward output with the time-realigned backward output.
+
+    Runs both directions in ONE scan by doubling the batch (the reversed
+    sequence rides the same loop), so the sequential cost is one pass."""
+    b, seqlen, _ = xs.shape
+
+    zx_f = matmul_f32(xs.reshape(b * seqlen, -1), fwd_params['kernel']) + \
+        fwd_params['bias']
+    zx_b = matmul_f32(xs[:, ::-1].reshape(b * seqlen, -1),
+                      bwd_params['kernel']) + bwd_params['bias']
+    h4 = fwd_params['recurrent'].shape[1]
+    zx = jnp.concatenate([zx_f.reshape(b, seqlen, h4),
+                          zx_b.reshape(b, seqlen, h4)], axis=0)
+    zx = jnp.swapaxes(zx, 0, 1)                               # [T, 2B, 4H]
+
+    rec = fwd_params['recurrent']
+    rec_b = bwd_params['recurrent']
+    hidden = rec.shape[0]
+
+    def step(carry, z_t):
+        h_prev, c_prev = carry
+        zf = z_t[:b] + matmul_f32(h_prev[:b], rec)
+        zb = z_t[b:] + matmul_f32(h_prev[b:], rec_b)
+        h, c = lstm_gates(jnp.concatenate([zf, zb], axis=0), c_prev)
+        return (h, c), h
+
+    init = (jnp.zeros((2 * b, hidden), xs.dtype),
+            jnp.zeros((2 * b, hidden), xs.dtype))
+    _, hs = jax.lax.scan(step, init, zx, unroll=unroll)
+    hs = jnp.swapaxes(hs, 0, 1)                               # [2B, T, H]
+    fwd = hs[:b]
+    bwd = hs[b:, ::-1]
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 

@@ -4,13 +4,18 @@ Replaces the reference's per-read pomegranate Viterbi calls
 (poreplex/signal_analyzer.py:352, :389) with a single [B, T] kernel:
 emission log-probs for all states are computed as one vectorized pass, the
 max-product recursion runs as a ``lax.scan`` over time with the whole batch
-in VPU lanes, and backtrace is a second scan. Padded frames carry scores
-unchanged so per-read lengths need no host-side control flow.
+in VPU lanes, and backtrace is a second scan.
+
+TPU shape discipline: the state count is tiny (S=6), and 3-D tensors with
+reductions over a small middle axis ([B, S, S] max) send the Mosaic
+compiler into pathological layout search (observed: >9 min hangs). Every
+step therefore unrolls the S axis into 2-D [B, S] arithmetic; backtrace
+uses a one-hot inner product instead of a gather.
 
 Emissions are diagonal-Gaussian mixtures: each state has K components
 (mu, sigma, log-weight); plain Normal states use K=1 with the rest disabled
-via -inf weights. This covers the Normal/GeneralMixtureModel emissions of
-the preset HMMs (poreplex/worker_persistence.py:99-106).
+via -inf weights (covers the Normal/GeneralMixtureModel emissions of the
+preset HMMs, poreplex/worker_persistence.py:99-106).
 """
 
 import numpy as np
@@ -29,7 +34,8 @@ def emission_logprob(x, mus, sigmas, logws):
     return jax.scipy.special.logsumexp(comp, axis=-1)
 
 
-def viterbi(x, lengths, log_start, log_trans, mus, sigmas, logws):
+def viterbi(x, lengths, log_start, log_trans, mus, sigmas, logws,
+            unroll=4):
     """Batched Viterbi decode.
 
     x: [B, T] observations (padded)
@@ -40,41 +46,49 @@ def viterbi(x, lengths, log_start, log_trans, mus, sigmas, logws):
     read's length repeat the final decoded state.
     """
     batch, seqlen = x.shape
-    nstates = log_start.shape[0]
+    nstates = int(log_start.shape[0])
     emis = emission_logprob(x, mus, sigmas, logws)        # [B, T, S]
     emis = jnp.swapaxes(emis, 0, 1)                       # [T, B, S]
 
     tsteps = jnp.arange(seqlen)
-    state_iota = jnp.arange(nstates, dtype=jnp.int32)
+    state_iota_row = jnp.arange(nstates, dtype=jnp.int32)[None, :]  # [1, S]
+
+    # transition columns as python-level constants for unrolled 2-D math
+    trans_rows = [log_trans[p][None, :] for p in range(nstates)]
 
     def forward_step(score, inputs):
         e_t, t = inputs
-        # cand[b, p, s] = score[b, p] + trans[p, s]
-        cand = score[:, :, None] + log_trans[None, :, :]
-        best_prev = jnp.argmax(cand, axis=1).astype(jnp.int32)   # [B, S]
-        new_score = jnp.max(cand, axis=1) + e_t                  # [B, S]
+        # best over previous state, unrolled: terms[p] = score[:, p] + T[p, :]
+        best = score[:, 0:1] + trans_rows[0]
+        for p in range(1, nstates):
+            best = jnp.maximum(best, score[:, p:p + 1] + trans_rows[p])
+        # backpointer with argmax first-occurrence semantics
+        bp = jnp.full_like(state_iota_row, nstates - 1) * jnp.ones(
+            (batch, 1), jnp.int32)
+        for p in range(nstates - 1, -1, -1):
+            bp = jnp.where(score[:, p:p + 1] + trans_rows[p] == best,
+                           jnp.int32(p), bp)
+        new_score = best + e_t
         active = (t < lengths)[:, None]
         score = jnp.where(active, new_score, score)
-        bp = jnp.where(active, best_prev,
-                       jnp.broadcast_to(state_iota, best_prev.shape))
+        bp = jnp.where(active, bp, state_iota_row)
         return score, bp
 
     init = log_start[None, :] + emis[0]                   # [B, S]
-    # step 0 consumed in init; steps 1..T-1 in the scan
     score, bps = jax.lax.scan(forward_step, init,
-                              (emis[1:], tsteps[1:]))
+                              (emis[1:], tsteps[1:]), unroll=unroll)
     # bps: [T-1, B, S]; bps[t] maps state at t+1 -> best state at t
     logp = jnp.max(score, axis=-1)
     last_state = jnp.argmax(score, axis=-1).astype(jnp.int32)
 
-    batch_iota = jnp.arange(batch)
-
     def backtrace_step(state, bp):
-        prev = bp[batch_iota, state]
+        # one-hot inner product instead of per-lane gather (2-D only)
+        onehot = (state_iota_row == state[:, None]).astype(jnp.int32)
+        prev = jnp.sum(bp * onehot, axis=1)
         return prev, state
 
     first_state, path_rest = jax.lax.scan(backtrace_step, last_state, bps,
-                                          reverse=True)
+                                          reverse=True, unroll=unroll)
     path = jnp.concatenate([first_state[None, :], path_rest], axis=0)
     return jnp.swapaxes(path, 0, 1), logp
 
@@ -96,7 +110,8 @@ def segment_extents(path, lengths, nstates):
         [jnp.ones((batch, 1), bool), path[:, 1:] != path[:, :-1]], axis=1)
     run_id = jnp.cumsum(changed, axis=1) - 1                   # [B, T]
 
-    def per_state(s):
+    firsts, lasts, presents = [], [], []
+    for s in range(nstates):
         occ = (path == s) & valid                              # [B, T]
         present = occ.any(axis=1)
         last_t = jnp.max(jnp.where(occ, iota, -1), axis=1)     # [B]
@@ -105,10 +120,9 @@ def segment_extents(path, lengths, nstates):
         in_run = (run_id == rid[:, None]) & occ
         first = jnp.min(jnp.where(in_run, iota, seqlen), axis=1)
         last = jnp.max(jnp.where(in_run, iota, -1), axis=1)
-        first = jnp.where(present, first, -1)
-        last = jnp.where(present, last, -1)
-        return first, last, present
+        firsts.append(jnp.where(present, first, -1))
+        lasts.append(jnp.where(present, last, -1))
+        presents.append(present)
 
-    firsts, lasts, presents = jax.vmap(per_state, out_axes=1)(
-        jnp.arange(nstates))
-    return firsts, lasts, presents
+    return (jnp.stack(firsts, axis=1), jnp.stack(lasts, axis=1),
+            jnp.stack(presents, axis=1))

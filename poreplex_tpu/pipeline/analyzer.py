@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from .. import fast5
+from ..utils.profiling import trace
 from .engine import DeviceEngine
 from .read import ReadRecord
 from .polya import PolyaAnalyzer
@@ -75,28 +76,15 @@ class BatchAnalyzer:
         aux = {'adapter_dumps': [], 'event_dumps': []}
 
         # ---- PHASE A: host load ----
-        for f5file, read_id in reads:
-            if not os.path.exists(os.path.join(self.inputdir, f5file)):
-                results.append({'filename': f5file, 'read_id': read_id,
-                                'status': 'disappeared'})
-                continue
-            rec = ReadRecord(f5file, self.inputdir, read_id)
-            try:
-                self._load_read(rec)
-            except Exception as exc:
-                results.append(self._pack_unhandled_exception(
-                    f5file, read_id, exc))
-                continue
-            if rec.is_stopped():
-                results.append(rec.report())
-            else:
-                records.append(rec)
+        with trace('A:fast5_load'):
+            self._phase_a(reads, results, records)
 
         if not records:
             return results, aux
 
         # ---- PHASE B: device stage 1 ----
-        stage1 = self._run_stage1(records)
+        with trace('B:device_stage1'):
+            stage1 = self._run_stage1(records)
 
         active = []
         for i, rec in enumerate(records):
@@ -143,7 +131,9 @@ class BatchAnalyzer:
 
         if polya_items:
             try:
-                self.polya_analyzer.process_batch(polya_items, self.stride)
+                with trace('C:polya'):
+                    self.polya_analyzer.process_batch(polya_items,
+                                                      self.stride)
             except Exception:
                 # batched poly(A) failure must not take down the whole batch
                 traceback.print_exc()
@@ -176,7 +166,8 @@ class BatchAnalyzer:
         if unsplit_jobs:
             flat = [(rec, sel) for rec, _, windows in unsplit_jobs
                     for sel in windows]
-            paths = self.unsplit_detector.decode_windows_batched(flat)
+            with trace('C:unsplit_viterbi'):
+                paths = self.unsplit_detector.decode_windows_batched(flat)
             cursor = 0
             for rec, payload_start, windows in unsplit_jobs:
                 if rec in failed or rec.error_message:
@@ -227,6 +218,25 @@ class BatchAnalyzer:
             rec.clear_cache()
             rec.scaled_raw = None
         return results, aux
+
+    # ------------------------------------------------------------------
+    def _phase_a(self, reads, results, records):
+        for f5file, read_id in reads:
+            if not os.path.exists(os.path.join(self.inputdir, f5file)):
+                results.append({'filename': f5file, 'read_id': read_id,
+                                'status': 'disappeared'})
+                continue
+            rec = ReadRecord(f5file, self.inputdir, read_id)
+            try:
+                self._load_read(rec)
+            except Exception as exc:
+                results.append(self._pack_unhandled_exception(
+                    f5file, read_id, exc))
+                continue
+            if rec.is_stopped():
+                results.append(rec.report())
+            else:
+                records.append(rec)
 
     # ------------------------------------------------------------------
     def _load_read(self, rec):

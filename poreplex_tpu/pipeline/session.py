@@ -70,6 +70,15 @@ class ProcessingSession:
         self.dump_writer = None
         self.dashboard = self.pbar = None
 
+        # processed-read manifest: persisted superset of the in-memory
+        # reads_done dedup set (the reference loses it on exit,
+        # poreplex/pipeline.py:88 / SURVEY.md §5.4); enables --resume
+        self.manifest_path = os.path.join(config['outputdir'],
+                                          '.processed-reads')
+        self.manifest_file = None
+        if config.get('resume'):
+            self._load_manifest()
+
     # ------------------------------------------------------------------
     def __enter__(self):
         self.loop = asyncio.new_event_loop()
@@ -120,11 +129,34 @@ class ProcessingSession:
         self.fastq_writer = self.fast5_writer = None
         self.npreaddb_writer = self.seqsummary_writer = None
         self.alignment_writer = self.dump_writer = None
+        if self.manifest_file is not None:
+            self.manifest_file.close()
+            self.manifest_file = None
 
         self.executor_mon.shutdown()
         self.executor_io.shutdown()
         self.executor_compute.shutdown()
         self.loop.close()
+
+    # ------------------------------------------------------------------
+    def _load_manifest(self):
+        if not os.path.exists(self.manifest_path):
+            return
+        with open(self.manifest_path) as f:
+            for line in f:
+                parts = line.rstrip('\n').split('\t')
+                if len(parts) == 2:
+                    self.reads_done.add((parts[0], parts[1]))
+        if self.reads_done:
+            self.show_message('==> Resuming: {} reads already processed'
+                              .format(len(self.reads_done)))
+
+    def _record_processed(self, readpaths):
+        if self.manifest_file is None:
+            self.manifest_file = open(self.manifest_path, 'a')
+        for filename, read_id in readpaths:
+            self.manifest_file.write('{}\t{}\n'.format(filename, read_id))
+        self.manifest_file.flush()
 
     # ------------------------------------------------------------------
     def errx(self, message):
@@ -179,11 +211,13 @@ class ProcessingSession:
 
             # dedup (live-mode refeeds) — poreplex/pipeline.py:215-229
             nd_results = []
+            newly_done = []
             for result in results:
                 readpath = result['filename'], result['read_id']
                 if readpath not in self.reads_done:
                     if result['status'] == 'okay':
                         self.reads_done.add(readpath)
+                        newly_done.append(readpath)
                     elif 'error_message' in result:
                         self.logger.error(result['error_message'])
                     nd_results.append(result)
@@ -191,6 +225,8 @@ class ProcessingSession:
                     self.reads_queued -= 1
                     self.reads_found -= 1
                 self.error_status_counts[result['status']] += 1
+            if newly_done:
+                self._record_processed(newly_done)
 
             if nd_results:
                 if self.config['fastq_output']:
@@ -538,6 +574,9 @@ class ProcessingSession:
 
             if not config['quiet'] and sess.scan_finished:
                 sess.show_message('')
+            from ..utils.profiling import GLOBAL_TIMER
+            GLOBAL_TIMER.report(logger)
+
             if sess.scan_finished and \
                     sess.reads_found == sess.reads_processed:
                 sess.finalize_results()

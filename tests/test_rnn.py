@@ -65,6 +65,18 @@ def test_demux_calibration_lookup(demux_model_path):
     assert model.score_threshold(18) == model.calibration_table[18]
 
 
+def test_fused_scaler_stack_matches_layerwise(nn_goldens, scaler_model_path):
+    """lstm2_stacked (single fused scan) must equal the two-scan layerwise
+    path and therefore the TF golden."""
+    params, data = load_params(scaler_model_path, ('lstm1', 'lstm2'))
+    x = jnp.asarray(nn_goldens['scaler_in'])[..., None]
+    h = rnn.lstm2_stacked(params['lstm1'], params['lstm2'], x)
+    pred = rnn.dense({'kernel': jnp.asarray(data['dense/kernel']),
+                      'bias': jnp.asarray(data['dense/bias'])}, h)
+    np.testing.assert_allclose(np.asarray(pred), nn_goldens['scaler_out'],
+                               atol=5e-5)
+
+
 def test_lstm_masking_independence():
     """Padding frames must influence the padded read only, not neighbors."""
     rng = np.random.RandomState(1)
