@@ -24,29 +24,30 @@ class ShardedEngine:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = self.mesh.devices.size
         self._sharding = batch_sharding(self.mesh)
+        # same u16-packed program as the single-device path so wire format
+        # and numerics are identical at any mesh size
         self._jit = jax.jit(
-            engine._stage1_impl,
-            in_shardings=(self._sharding,) * 4,
+            engine._stage1_packed_impl,
+            in_shardings=(self._sharding,),
             out_shardings=None)
 
     def run_stage1(self, heads, head_valid, pooled, pooled_len):
         """numpy in -> numpy out; pads the batch to a multiple of the mesh
         size and shards reads across devices."""
+        eng = self.engine
         n = heads.shape[0]
         pad = (-n) % self.n_devices
+        signals = np.concatenate([np.asarray(heads, np.float32),
+                                  np.asarray(pooled, np.float32)], axis=1)
+        signals = np.clip(np.round(signals * eng.WIRE_SCALE), 0, 65535)
+        packed = np.concatenate([
+            signals.astype(np.uint16),
+            np.asarray(head_valid, np.uint16)[:, None],
+            np.asarray(pooled_len, np.uint16)[:, None]], axis=1)
         if pad:
-            heads = np.pad(heads, [(0, pad), (0, 0)])
-            head_valid = np.pad(head_valid, [(0, pad)])
-            pooled = np.pad(pooled, [(0, pad), (0, 0)])
-            pooled_len = np.pad(pooled_len, [(0, pad)])
+            packed = np.pad(packed, [(0, pad), (0, 0)])
 
-        args = (
-            jax.device_put(jnp.asarray(heads, jnp.float32), self._sharding),
-            jax.device_put(jnp.asarray(head_valid, bool), self._sharding),
-            jax.device_put(jnp.asarray(pooled, jnp.float32), self._sharding),
-            jax.device_put(jnp.asarray(pooled_len, jnp.int32),
-                           self._sharding),
-        )
+        arg = jax.device_put(jnp.asarray(packed), self._sharding)
         with self.mesh:
-            out = self._jit(*args)
-        return {k: np.asarray(v)[:n] for k, v in out.items()}
+            out = self._jit(arg)
+        return eng._unpack_stage1(np.asarray(out)[:n])

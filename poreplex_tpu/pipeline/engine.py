@@ -57,6 +57,7 @@ class DeviceEngine:
         self.polya_idx = self.segmodel.state_index[STATE_POLYA]
 
         self._stage1 = jax.jit(self._stage1_impl)
+        self._stage1_packed = jax.jit(self._stage1_packed_impl)
 
     # ------------------------------------------------------------------
     def _stage1_impl(self, heads, head_valid, pooled, pooled_len):
@@ -110,13 +111,65 @@ class DeviceEngine:
         return out
 
     # ------------------------------------------------------------------
+    # Packed marshalling: the remote-TPU transport pays a fixed round-trip
+    # per transfer (~25ms over the axon tunnel) plus ~20ms/MB of bandwidth,
+    # so the batch crosses the wire as ONE array each way, with the signal
+    # payload quantized to u16 fixed point (1/256 pA steps — two orders of
+    # magnitude below pore noise; dequantized on device).
+
+    WIRE_SCALE = 256.0   # pA -> u16 fixed point
+
+    def _stage1_packed_impl(self, packed):
+        """packed: [B, head_len + seg_frames + 2] u16
+        (head*256 | pooled*256 | head_valid | pooled_len)."""
+        hl = self.scaler.pooled_length
+        frames = self.seg_frames
+        signals = packed[:, :hl + frames].astype(jnp.float32) / self.WIRE_SCALE
+        heads = signals[:, :hl]
+        pooled = signals[:, hl:hl + frames]
+        head_valid = packed[:, hl + frames] > 0
+        pooled_len = packed[:, hl + frames + 1].astype(jnp.int32)
+        out = self._stage1_impl(heads, head_valid, pooled, pooled_len)
+
+        cols = [out['scaling'],                              # 2
+                out['qc_ok'][:, None].astype(jnp.float32),   # 1
+                out['first'].astype(jnp.float32),            # S
+                out['last'].astype(jnp.float32),             # S
+                out['present'].astype(jnp.float32),          # S
+                out['logp'][:, None]]                        # 1
+        if self.barcoding:
+            cols += [out['demux_ok'][:, None].astype(jnp.float32),
+                     out['demux_probs'],
+                     out['adapter_len'][:, None].astype(jnp.float32)]
+        return jnp.concatenate(cols, axis=1)
+
+    def _unpack_stage1(self, arr):
+        S = self.segmodel.nstates
+        out = {}
+        c = 0
+        out['scaling'] = arr[:, 0:2]; c = 2
+        out['qc_ok'] = arr[:, c] > 0.5; c += 1
+        out['first'] = arr[:, c:c + S].astype(np.int64); c += S
+        out['last'] = arr[:, c:c + S].astype(np.int64); c += S
+        out['present'] = arr[:, c:c + S] > 0.5; c += S
+        out['logp'] = arr[:, c]; c += 1
+        if self.barcoding:
+            out['demux_ok'] = arr[:, c] > 0.5; c += 1
+            out['demux_probs'] = arr[:, c:c + 5]; c += 5
+            out['adapter_len'] = arr[:, c].astype(np.int64); c += 1
+        return out
+
     def run_stage1(self, heads, head_valid, pooled, pooled_len):
-        """numpy in -> numpy out wrapper."""
-        res = self._stage1(jnp.asarray(heads, jnp.float32),
-                           jnp.asarray(head_valid, bool),
-                           jnp.asarray(pooled, jnp.float32),
-                           jnp.asarray(pooled_len, jnp.int32))
-        return {k: np.asarray(v) for k, v in res.items()}
+        """numpy in -> numpy out wrapper; single transfer each way."""
+        signals = np.concatenate([np.asarray(heads, np.float32),
+                                  np.asarray(pooled, np.float32)], axis=1)
+        signals = np.clip(np.round(signals * self.WIRE_SCALE), 0, 65535)
+        packed = np.concatenate([
+            signals.astype(np.uint16),
+            np.asarray(head_valid, np.uint16)[:, None],
+            np.asarray(pooled_len, np.uint16)[:, None]], axis=1)
+        res = np.asarray(self._stage1_packed(jnp.asarray(packed)))
+        return self._unpack_stage1(res)
 
     def segments_for_read(self, first, last, present):
         return self.segmodel.segments_dict(first, last, present)
