@@ -67,17 +67,25 @@ class BatchAnalyzer:
                 config['barcoding_quality_filter'])
 
     # ------------------------------------------------------------------
-    def process_batch(self, batchid, reads):
-        """reads: list of (fast5_filename, read_id).
-        Returns (results, aux) where results is the list of report dicts and
-        aux carries dump payloads for the io layer."""
+    def load_batch(self, reads):
+        """PHASE A only (host FAST5 ingest); safe to run on an I/O thread
+        while the previous batch occupies the device. Returns the opaque
+        preloaded state for analyze_batch."""
         results = []
         records = []
-        aux = {'adapter_dumps': [], 'event_dumps': []}
-
-        # ---- PHASE A: host load ----
         with trace('A:fast5_load'):
             self._phase_a(reads, results, records)
+        return results, records
+
+    def process_batch(self, batchid, reads, preloaded=None):
+        """reads: list of (fast5_filename, read_id).
+        Returns (results, aux) where results is the list of report dicts and
+        aux carries dump payloads for the io layer. ``preloaded`` accepts
+        the output of load_batch to skip PHASE A."""
+        if preloaded is None:
+            preloaded = self.load_batch(reads)
+        results, records = preloaded
+        aux = {'adapter_dumps': [], 'event_dumps': []}
 
         if not records:
             return results, aux
@@ -428,19 +436,43 @@ class BatchAnalyzer:
                 'status': 'unknown_error', 'error_message': errmsg}
 
 
-def process_batch(batchid, reads, config, _analyzer_cache={}):
+_ANALYZER_CACHE = {}
+
+
+def get_analyzer(config):
+    key = id(config)
+    analyzer = _ANALYZER_CACHE.get(key)
+    if analyzer is None:
+        analyzer = BatchAnalyzer(config)
+        _ANALYZER_CACHE.clear()
+        _ANALYZER_CACHE[key] = analyzer
+    return analyzer
+
+
+def load_batch(reads, config):
+    """PHASE A on an ingest thread; returns opaque preloaded state (or an
+    error tuple like process_batch)."""
+    try:
+        return get_analyzer(config).load_batch(reads)
+    except Exception as exc:
+        exc_tb = sys.exc_info()[2]
+        filename = os.path.split(
+            exc_tb.tb_frame.f_code.co_filename)[-1] if exc_tb else '?'
+        return (-1, '[{filename}:{lineno}] Unhandled exception {name}: {msg}'
+                .format(filename=filename,
+                        lineno=exc_tb.tb_lineno if exc_tb else 0,
+                        name=type(exc).__name__, msg=str(exc)),
+                traceback.format_exc())
+
+
+def process_batch(batchid, reads, config, preloaded=None):
     """Top-level batch entry with the reference's error packing contract
     (poreplex/signal_analyzer.py:46-58): returns the result list, or a
     (-1, message, traceback) tuple on an unhandled batch-level error.
     The heavyweight BatchAnalyzer persists across calls."""
     try:
-        key = id(config)
-        analyzer = _analyzer_cache.get(key)
-        if analyzer is None:
-            analyzer = BatchAnalyzer(config)
-            _analyzer_cache.clear()
-            _analyzer_cache[key] = analyzer
-        results, aux = analyzer.process_batch(batchid, reads)
+        analyzer = get_analyzer(config)
+        results, aux = analyzer.process_batch(batchid, reads, preloaded)
         return results, aux
     except Exception as exc:
         exc_tb = sys.exc_info()[2]

@@ -25,7 +25,7 @@ from ..io.writers import (
     FASTQWriter, FAST5Writer, SequencingSummaryWriter,
     NanopolishReadDBWriter, FinalSummaryTracker, DumpWriter,
     create_adapter_dumps_inventory, create_events_inventory)
-from .analyzer import process_batch
+from .analyzer import process_batch, load_batch
 
 FAST5_SUFFIX = '.fast5'
 
@@ -195,8 +195,16 @@ class ProcessingSession:
 
         self.active_batches += 1
         try:
-            outcome = await self.run_in_executor_compute(
-                process_batch, batchid, files, self.config)
+            # FAST5 ingest on a monitor thread overlaps the device compute
+            # of the previous batch (double-buffered pipeline)
+            preloaded = await self.run_in_executor_mon(
+                load_batch, files, self.config)
+            if isinstance(preloaded, tuple) and len(preloaded) == 3 and \
+                    preloaded[0] == -1:
+                outcome = preloaded
+            else:
+                outcome = await self.run_in_executor_compute(
+                    process_batch, batchid, files, self.config, preloaded)
 
             if isinstance(outcome, tuple) and len(outcome) == 3 and \
                     outcome[0] == -1:
