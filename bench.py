@@ -27,8 +27,6 @@ CPU_SAMPLE = 24          # CPU baseline measured on a subsample, scaled
 def make_inputs(engine, n_reads, seed=7):
     rng = np.random.RandomState(seed)
     frames = engine.seg_frames
-    heads = rng.normal(90, 12, (n_reads, engine.scaler.pooled_length)
-                       ).astype(np.float32)
     pooled = np.zeros((n_reads, frames), np.float32)
     pooled_len = np.zeros(n_reads, np.int32)
     for i in range(n_reads):
@@ -42,25 +40,32 @@ def make_inputs(engine, n_reads, seed=7):
         sig = np.concatenate([rng.normal(m, s, n) for m, s, n in layout])
         pooled[i, :len(sig)] = sig
         pooled_len[i] = len(sig)
+    heads = pooled[:, :engine.scaler.pooled_length].copy()
     return heads, pooled, pooled_len
 
 
-def bench_tpu(engine, heads, pooled, pooled_len):
-    import jax
-    n = len(heads)
-    head_valid = np.ones(BATCH, bool)
+def bench_tpu(engine, pooled, pooled_len, inflight=4):
+    """Pipelined: keeps `inflight` batches dispatched so wire uploads to
+    the device overlap compute (same overlap the analyzer uses)."""
+    n = len(pooled)
+    nb = n // BATCH
 
-    def run_batch(base):
-        return engine.run_stage1(heads[base:base + BATCH], head_valid,
-                                 pooled[base:base + BATCH],
-                                 pooled_len[base:base + BATCH])
+    def dispatch(base):
+        packed = engine.pack_stage1(pooled[base:base + BATCH],
+                                    pooled_len[base:base + BATCH])
+        return engine.dispatch_stage1(packed)
 
-    run_batch(0)                      # compile + warm
+    engine.collect_stage1(dispatch(0))        # compile + warm
     t0 = time.time()
     reps = 0
-    while time.time() - t0 < 3.0 or reps < 2 * (n // BATCH):
-        run_batch((reps % (n // BATCH)) * BATCH)
+    pending = []
+    while time.time() - t0 < 3.0 or reps < 2 * nb:
+        pending.append(dispatch((reps % nb) * BATCH))
         reps += 1
+        if len(pending) >= inflight:
+            engine.collect_stage1(pending.pop(0))
+    for h in pending:
+        engine.collect_stage1(h)
     elapsed = time.time() - t0
     return reps * BATCH / elapsed
 
@@ -137,7 +142,7 @@ def main():
     engine = DeviceEngine(config)
     heads, pooled, pooled_len = make_inputs(engine, N_READS)
 
-    tpu_rps = bench_tpu(engine, heads, pooled, pooled_len)
+    tpu_rps = bench_tpu(engine, pooled, pooled_len)
     try:
         cpu_rps = bench_cpu(config, heads, pooled, pooled_len)
     except Exception as exc:

@@ -31,19 +31,13 @@ class ShardedEngine:
             in_shardings=(self._sharding,),
             out_shardings=None)
 
-    def run_stage1(self, heads, head_valid, pooled, pooled_len):
+    def run_stage1(self, pooled, pooled_len, head_len=None, head_valid=None):
         """numpy in -> numpy out; pads the batch to a multiple of the mesh
         size and shards reads across devices."""
         eng = self.engine
-        n = heads.shape[0]
+        n = np.asarray(pooled).shape[0]
         pad = (-n) % self.n_devices
-        signals = np.concatenate([np.asarray(heads, np.float32),
-                                  np.asarray(pooled, np.float32)], axis=1)
-        signals = np.clip(np.round(signals * eng.WIRE_SCALE), 0, 65535)
-        packed = np.concatenate([
-            signals.astype(np.uint16),
-            np.asarray(head_valid, np.uint16)[:, None],
-            np.asarray(pooled_len, np.uint16)[:, None]], axis=1)
+        packed = eng.pack_stage1(pooled, pooled_len, head_len, head_valid)
         if pad:
             packed = np.pad(packed, [(0, pad), (0, 0)])
 

@@ -43,6 +43,12 @@ class BatchAnalyzer:
         self.inputdir = config['inputdir']
         self.stride = config['signal_processing']['rough_signal_stride']
         self.engine = DeviceEngine(config)
+        if self.engine.scaler.input_stride != self.stride:
+            # on-device head reconstruction (engine._derive_heads) needs the
+            # scaler head and the segmentation body to share one pooling
+            raise ValueError(
+                'scaler input stride ({}) must match rough_signal_stride '
+                '({})'.format(self.engine.scaler.input_stride, self.stride))
 
         kmermodel = pd.read_csv(config['kmer_model'], header=0, index_col=0,
                                 sep='\t')
@@ -262,11 +268,14 @@ class BatchAnalyzer:
         rec.run_id = f5.run_id
         rec.sample_id = f5.sample_id
 
+        # minimum-signal gate of the scaler head (poreplex/
+        # signal_loader.py:212-231); the head itself is no longer pooled
+        # on the host — it is the first <=2000 frames of rec.pooled and
+        # gets reconstructed on device from the single wire payload.
         scaler = self.engine.scaler
-        rec.head = self._load_padded_signal_head(rec, scaler.input_length,
-                                                 scaler.input_stride,
-                                                 scaler.min_length)
-        if rec.head is None:
+        sigload_length = min(scaler.input_length, f5.duration)
+        sigload_length -= sigload_length % scaler.input_stride
+        if sigload_length < scaler.min_length:
             rec.set_status('scaler_signal_too_short', stop=True)
             f5.close()
             return
@@ -276,44 +285,32 @@ class BatchAnalyzer:
                                 len(rec.raw_signal) % self.stride]
         rec.pooled = pooled.reshape(-1, self.stride).mean(
             axis=1, dtype=np.float32)
-
-    def _load_padded_signal_head(self, rec, length_limit, stride, min_length):
-        """First <=30k samples, stride-pooled, left-zero-padded
-        (poreplex/signal_loader.py:212-231)."""
-        sigload_length = min(length_limit, rec.fast5.duration)
-        sigload_length -= sigload_length % stride
-        signal = rec.fast5.get_raw_data(end=sigload_length)
-        if len(signal) % stride > 0:
-            signal = signal[:-(len(signal) % stride)]
-        if len(signal) < min_length:
-            return None
-        means = signal.reshape(-1, stride).mean(axis=1, dtype=np.float32)
-        limit = length_limit // stride
-        if len(means) < limit:
-            means = np.pad(means, [limit - len(means), 0], 'constant')
-        return means
+        rec.head_len = min(scaler.pooled_length, len(rec.pooled))
 
     def _run_stage1(self, records):
         """Pad to the fixed device batch size so each config compiles once;
-        larger batches run in chunks."""
+        larger batches run in chunks. All chunks are dispatched before any
+        result is awaited, so wire uploads overlap device compute."""
         B = int(self.config.get('device_batch_size', 128))
-        scaler = self.engine.scaler
         frames = self.engine.seg_frames
-        chunks = []
+        wire = self.engine.wire_frames
+        handles = []
         for base in range(0, len(records), B):
             chunk = records[base:base + B]
-            heads = np.zeros((B, scaler.pooled_length), np.float32)
+            pooled = np.zeros((B, wire), np.float32)
+            pooled_len = np.zeros(B, np.uint16)
+            head_len = np.zeros(B, np.uint16)
             head_valid = np.zeros(B, bool)
-            pooled = np.zeros((B, frames), np.float32)
-            pooled_len = np.zeros(B, np.int32)
             for i, rec in enumerate(chunk):
-                heads[i] = rec.head
-                head_valid[i] = True
-                n = min(len(rec.pooled), frames)
+                n = min(len(rec.pooled), wire)
                 pooled[i, :n] = rec.pooled[:n]
-                pooled_len[i] = n
-            chunks.append(self.engine.run_stage1(heads, head_valid, pooled,
-                                                 pooled_len))
+                pooled_len[i] = min(len(rec.pooled), frames)
+                head_len[i] = rec.head_len
+                head_valid[i] = True
+            packed = self.engine.pack_stage1(pooled, pooled_len, head_len,
+                                             head_valid)
+            handles.append(self.engine.dispatch_stage1(packed))
+        chunks = [self.engine.collect_stage1(h) for h in handles]
         n = len(records)
         return {k: np.concatenate([c[k] for c in chunks])[:n]
                 for k in chunks[0]}

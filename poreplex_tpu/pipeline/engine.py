@@ -56,10 +56,37 @@ class DeviceEngine:
         self.adapter_idx = self.segmodel.state_index[STATE_ADAPTER]
         self.polya_idx = self.segmodel.state_index[STATE_POLYA]
 
+        # wire width: the pooled body covers the scaler head region too
+        # (the head is the stride-pooled first 30k samples == the first
+        # <=2000 pooled frames, left-zero-padded; poreplex/
+        # signal_loader.py:212-231 vs :233-264), so only ONE signal array
+        # crosses the wire and the head is reconstructed on device.
+        self.wire_frames = max(self.seg_frames, self.scaler.pooled_length)
+
         self._stage1 = jax.jit(self._stage1_impl)
         self._stage1_packed = jax.jit(self._stage1_packed_impl)
 
     # ------------------------------------------------------------------
+    def _derive_heads(self, pooled, head_len):
+        """Reconstruct the scaler input from the pooled body: the first
+        ``head_len`` frames, right-aligned into a zero-left-padded
+        [B, pooled_length] window (identical to the host-side padding of
+        poreplex/signal_loader.py:228-230)."""
+        hl = self.scaler.pooled_length
+        j = jnp.arange(hl)[None, :]
+        idx = j - (hl - head_len[:, None])
+        valid = idx >= 0
+        idx_c = jnp.clip(idx, 0, pooled.shape[1] - 1)
+        heads = jnp.take_along_axis(pooled, idx_c, axis=1)
+        return jnp.where(valid, heads, 0.0)
+
+    def _stage1_pooled_impl(self, pooled, pooled_len, head_len, head_valid):
+        """Single-signal-payload variant: pooled [B, wire_frames]; the
+        scaler head is derived on device."""
+        heads = self._derive_heads(pooled, head_len)
+        body = pooled[:, :self.seg_frames]
+        return self._stage1_impl(heads, head_valid, body, pooled_len)
+
     def _stage1_impl(self, heads, head_valid, pooled, pooled_len):
         """heads: [B, 2000]; pooled: [B, seg_frames] raw pooled pA;
         pooled_len: [B] valid frames (already capped at seg_frames).
@@ -120,16 +147,15 @@ class DeviceEngine:
     WIRE_SCALE = 256.0   # pA -> u16 fixed point
 
     def _stage1_packed_impl(self, packed):
-        """packed: [B, head_len + seg_frames + 2] u16
-        (head*256 | pooled*256 | head_valid | pooled_len)."""
-        hl = self.scaler.pooled_length
-        frames = self.seg_frames
-        signals = packed[:, :hl + frames].astype(jnp.float32) / self.WIRE_SCALE
-        heads = signals[:, :hl]
-        pooled = signals[:, hl:hl + frames]
-        head_valid = packed[:, hl + frames] > 0
-        pooled_len = packed[:, hl + frames + 1].astype(jnp.int32)
-        out = self._stage1_impl(heads, head_valid, pooled, pooled_len)
+        """packed: [B, wire_frames + 3] u16
+        (pooled*256 | head_len | head_valid | pooled_len)."""
+        w = self.wire_frames
+        pooled = packed[:, :w].astype(jnp.float32) / self.WIRE_SCALE
+        head_len = packed[:, w].astype(jnp.int32)
+        head_valid = packed[:, w + 1] > 0
+        pooled_len = packed[:, w + 2].astype(jnp.int32)
+        out = self._stage1_pooled_impl(pooled, pooled_len, head_len,
+                                       head_valid)
 
         cols = [out['scaling'],                              # 2
                 out['qc_ok'][:, None].astype(jnp.float32),   # 1
@@ -159,17 +185,43 @@ class DeviceEngine:
             out['adapter_len'] = arr[:, c].astype(np.int64); c += 1
         return out
 
-    def run_stage1(self, heads, head_valid, pooled, pooled_len):
+    def pack_stage1(self, pooled, pooled_len, head_len=None, head_valid=None):
+        """Marshal one batch into the single u16 wire array.
+
+        pooled: [B, <=wire_frames] f32 pA (pooled stride-`stride` means);
+        pooled_len: [B] valid segmentation frames (<= seg_frames);
+        head_len: [B] available scaler-head frames (defaults to
+        min(scaler_len, pooled_len)); head_valid: [B] bool."""
+        pooled = np.asarray(pooled, np.float32)
+        n, w = pooled.shape
+        pooled_len = np.asarray(pooled_len, np.uint16)
+        if head_len is None:
+            head_len = np.minimum(self.scaler.pooled_length,
+                                  pooled_len).astype(np.uint16)
+        if head_valid is None:
+            head_valid = np.ones(n, bool)
+        packed = np.zeros((n, self.wire_frames + 3), np.uint16)
+        packed[:, :w] = np.clip(np.round(pooled * self.WIRE_SCALE),
+                                0, 65535).astype(np.uint16)
+        packed[:, self.wire_frames] = np.asarray(head_len, np.uint16)
+        packed[:, self.wire_frames + 1] = np.asarray(head_valid, np.uint16)
+        packed[:, self.wire_frames + 2] = pooled_len
+        return packed
+
+    def dispatch_stage1(self, packed):
+        """Non-blocking: starts upload + compute, returns the device
+        result handle. Use collect_stage1 to await + unpack; keeping a few
+        dispatches in flight overlaps host marshalling and wire transfers
+        with device compute."""
+        return self._stage1_packed(jnp.asarray(packed))
+
+    def collect_stage1(self, handle):
+        return self._unpack_stage1(np.asarray(handle))
+
+    def run_stage1(self, pooled, pooled_len, head_len=None, head_valid=None):
         """numpy in -> numpy out wrapper; single transfer each way."""
-        signals = np.concatenate([np.asarray(heads, np.float32),
-                                  np.asarray(pooled, np.float32)], axis=1)
-        signals = np.clip(np.round(signals * self.WIRE_SCALE), 0, 65535)
-        packed = np.concatenate([
-            signals.astype(np.uint16),
-            np.asarray(head_valid, np.uint16)[:, None],
-            np.asarray(pooled_len, np.uint16)[:, None]], axis=1)
-        res = np.asarray(self._stage1_packed(jnp.asarray(packed)))
-        return self._unpack_stage1(res)
+        packed = self.pack_stage1(pooled, pooled_len, head_len, head_valid)
+        return self.collect_stage1(self.dispatch_stage1(packed))
 
     def segments_for_read(self, first, last, present):
         return self.segmodel.segments_dict(first, last, present)

@@ -38,7 +38,7 @@ class ReadRecord:
         self.raw_signal = None           # full pA signal (f32)
         self.scaled_raw = None           # scaled full signal (poly(A) path)
         self.pooled = None               # stride-pooled, scaled lazily
-        self.head = None                 # scaler input [2000]
+        self.head_len = 0                # scaler-head frames in pooled
         self.segments = None             # {state: (first, last)} pooled frames
         self.events = None               # pandas event table
 
@@ -76,7 +76,6 @@ class ReadRecord:
     def clear_cache(self):
         self.raw_signal = None
         self.pooled = None
-        self.head = None
         self.events = None
 
     def report(self):

@@ -21,12 +21,11 @@ def tiny_engine(tmp_path_factory):
 
 def example_inputs(engine, batch, seed=0):
     rng = np.random.RandomState(seed)
-    heads = rng.normal(90, 12, (batch, engine.scaler.pooled_length)
-                       ).astype(np.float32)
-    head_valid = np.ones(batch, bool)
-    pooled = rng.normal(90, 12, (batch, engine.seg_frames)).astype(np.float32)
+    pooled = rng.normal(90, 12, (batch, engine.wire_frames)
+                        ).astype(np.float32)
     pooled_len = np.full(batch, engine.seg_frames, np.int32)
-    return heads, head_valid, pooled, pooled_len
+    head_len = np.minimum(engine.scaler.pooled_length, engine.wire_frames)
+    return pooled, pooled_len, np.full(batch, head_len, np.int32)
 
 
 def test_sharded_equals_unsharded(tiny_engine, cpu_devices):
