@@ -45,29 +45,43 @@ def make_inputs(engine, n_reads, seed=7):
 
 
 def bench_tpu(engine, pooled, pooled_len, inflight=4):
-    """Pipelined: keeps `inflight` batches dispatched so wire uploads to
-    the device overlap compute (same overlap the analyzer uses)."""
+    """Pipelined token-packed transport (what the analyzer uses): keeps
+    `inflight` batches dispatched so wire uploads overlap compute."""
     n = len(pooled)
-    nb = n // BATCH
+    hl = engine.scaler.pooled_length
+    reads = [(pooled[i, :pooled_len[i]], int(pooled_len[i]),
+              min(hl, int(pooled_len[i]))) for i in range(n)]
+    nb = (n + BATCH - 1) // BATCH
 
-    def dispatch(base):
-        packed = engine.pack_stage1(pooled[base:base + BATCH],
-                                    pooled_len[base:base + BATCH])
-        return engine.dispatch_stage1(packed)
+    groups = []          # read-list slices, one per device dispatch
+    rest = reads
+    while rest:
+        wire, cnt = engine.pack_stage1_flat(rest)
+        groups.append(rest[:cnt])
+        # compile + warm this flat size
+        engine.collect_stage1(engine.dispatch_stage1_flat(wire))
+        rest = rest[cnt:]
 
-    engine.collect_stage1(dispatch(0))        # compile + warm
+    def dispatch(i):
+        # re-marshal each time: packing cost is part of the steady state
+        wire, cnt = engine.pack_stage1_flat(groups[i % len(groups)])
+        return engine.dispatch_stage1_flat(wire), cnt
     t0 = time.time()
-    reps = 0
+    reps = done = 0
     pending = []
     while time.time() - t0 < 3.0 or reps < 2 * nb:
-        pending.append(dispatch((reps % nb) * BATCH))
+        h, cnt = dispatch(reps)
+        pending.append((h, cnt))
         reps += 1
         if len(pending) >= inflight:
-            engine.collect_stage1(pending.pop(0))
-    for h in pending:
+            h, cnt = pending.pop(0)
+            engine.collect_stage1(h)
+            done += cnt
+    for h, cnt in pending:
         engine.collect_stage1(h)
+        done += cnt
     elapsed = time.time() - t0
-    return reps * BATCH / elapsed
+    return done / elapsed
 
 
 def bench_cpu(config, heads, pooled, pooled_len):

@@ -205,6 +205,7 @@ def main(args):
     config['minimum_sequence_length'] = args.minimum_length
     config['minimap2_index'] = args.align if args.align else None
     config['device_batch_size'] = args.device_batch_size
+    config['wire_precision'] = args.wire_precision
     config['resume'] = args.resume
     config['io_threads'] = 2
     config['nobasecall_stop_trigger'] = 1000
@@ -327,6 +328,12 @@ def __main__():
     group.add_argument('--device-batch-size', default=128, type=int,
                        metavar='SIZE',
                        help='reads per device batch (default: 128)')
+    group.add_argument('--wire-precision', default='exact',
+                       choices=('exact', 'fast'),
+                       help='host->device signal transport: "exact" u16 '
+                            'fixed point (lossless in practice) or "fast" '
+                            'u8 per-read affine (half the upload bytes, '
+                            '~0.5 pA quantization; default: exact)')
     group.add_argument('--tmpdir', default='', type=str, metavar='DIR',
                        help='temporary directory for intermediate data')
     group.add_argument('--batch-size', default=128, type=int, metavar='SIZE',

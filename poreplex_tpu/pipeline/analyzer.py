@@ -288,31 +288,27 @@ class BatchAnalyzer:
         rec.head_len = min(scaler.pooled_length, len(rec.pooled))
 
     def _run_stage1(self, records):
-        """Pad to the fixed device batch size so each config compiles once;
-        larger batches run in chunks. All chunks are dispatched before any
-        result is awaited, so wire uploads overlap device compute."""
-        B = int(self.config.get('device_batch_size', 128))
+        """Token-packed device dispatch: reads' pooled frames travel as one
+        flat stream (engine.pack_stage1_flat), so the wire pays actual
+        frames instead of [B, seg_frames] padding. All sub-batches are
+        dispatched before any result is awaited, overlapping uploads with
+        device compute."""
         frames = self.engine.seg_frames
-        wire = self.engine.wire_frames
+        reads = [(rec.pooled,
+                  min(len(rec.pooled), frames),
+                  rec.head_len) for rec in records]
         handles = []
-        for base in range(0, len(records), B):
-            chunk = records[base:base + B]
-            pooled = np.zeros((B, wire), np.float32)
-            pooled_len = np.zeros(B, np.uint16)
-            head_len = np.zeros(B, np.uint16)
-            head_valid = np.zeros(B, bool)
-            for i, rec in enumerate(chunk):
-                n = min(len(rec.pooled), wire)
-                pooled[i, :n] = rec.pooled[:n]
-                pooled_len[i] = min(len(rec.pooled), frames)
-                head_len[i] = rec.head_len
-                head_valid[i] = True
-            packed = self.engine.pack_stage1(pooled, pooled_len, head_len,
-                                             head_valid)
-            handles.append(self.engine.dispatch_stage1(packed))
-        chunks = [self.engine.collect_stage1(h) for h in handles]
+        counts = []
+        while reads:
+            wire, n = self.engine.pack_stage1_flat(reads)
+            handles.append(self.engine.dispatch_stage1_flat(wire))
+            counts.append(n)
+            reads = reads[n:]
+        chunks = [self.engine.collect_stage1(h)
+                  for h in handles]
         n = len(records)
-        return {k: np.concatenate([c[k] for c in chunks])[:n]
+        return {k: np.concatenate([c[k][:cnt] for c, cnt in
+                                   zip(chunks, counts)])[:n]
                 for k in chunks[0]}
 
     def _scaled_raw_signal(self, rec):

@@ -67,3 +67,68 @@ def test_allreduce_counts_single_host():
     counts = np.arange(12, dtype=np.int64).reshape(3, 4)
     out = distributed.allreduce_counts(counts)
     np.testing.assert_array_equal(out, counts)
+
+
+def test_flat_transport_matches_padded(tiny_engine):
+    """Token-packed wire format must give identical results to the padded
+    [B, T] format (same u16 quantization, same kernels)."""
+    rng = np.random.RandomState(11)
+    eng = tiny_engine
+    reads = []
+    for i in range(7):
+        L = int(rng.uniform(40, eng.wire_frames))
+        sig = rng.normal(90, 12, L).astype(np.float32)
+        reads.append((sig, min(L, eng.seg_frames),
+                      min(eng.scaler.pooled_length, L)))
+
+    got, n = eng.run_stage1_flat(reads)
+    assert n == len(reads)
+
+    pooled = np.zeros((len(reads), eng.wire_frames), np.float32)
+    for i, (sig, plen, hlen) in enumerate(reads):
+        pooled[i, :len(sig)] = sig
+    plens = np.array([r[1] for r in reads], np.int32)
+    hlens = np.array([r[2] for r in reads], np.int32)
+    ref = eng.run_stage1(pooled, plens, hlens)
+    for key in ref:
+        np.testing.assert_allclose(got[key], ref[key], rtol=2e-5, atol=2e-5,
+                                   err_msg=key)
+    np.testing.assert_array_equal(got['first'], ref['first'])
+    np.testing.assert_array_equal(got['last'], ref['last'])
+
+
+def test_fast_wire_preserves_decisions(tmp_path_factory, cpu_devices):
+    """u8 per-read-affine wire must keep segmentation extents and demux
+    decisions identical on realistic HMM-mixture signals, and scaling
+    params within quantization tolerance."""
+    from poreplex_tpu.config import build_config
+    tmp = str(tmp_path_factory.mktemp('cfgfast'))
+    cfg_e = build_config(tmp, tmp, barcoding=True, device_batch_size=16)
+    cfg_e['segmentation']['segmentation_scan_limit'] = 1500
+    cfg_f = dict(cfg_e)
+    cfg_f['wire_precision'] = 'fast'
+    eng_e = DeviceEngine(cfg_e)
+    eng_f = DeviceEngine(cfg_f)
+
+    rng = np.random.RandomState(5)
+    reads = []
+    for i in range(8):
+        L = int(rng.uniform(60, eng_e.seg_frames))
+        parts = [(71.5, 3.7, int(L * .05)), (102.1, 3.9, int(L * .05)),
+                 (112.0, 4.8, int(L * .05)), (80.5, 7.4, int(L * .35)),
+                 (108.95, 2.5, int(L * .15))]
+        parts.append((96.0, 11.0, L - sum(p[2] for p in parts)))
+        sig = np.concatenate(
+            [rng.normal(m, s, k) for m, s, k in parts]).astype(np.float32)
+        reads.append((sig, len(sig), min(eng_e.scaler.pooled_length,
+                                         len(sig))))
+
+    out_e, n_e = eng_e.run_stage1_flat(reads)
+    out_f, n_f = eng_f.run_stage1_flat(reads)
+    assert n_e == n_f == len(reads)
+    np.testing.assert_allclose(out_f['scaling'], out_e['scaling'],
+                               rtol=0.02, atol=0.05)
+    # segment boundaries may move by at most 1 frame at state transitions
+    assert np.abs(out_f['first'] - out_e['first']).max() <= 1
+    assert np.abs(out_f['last'] - out_e['last']).max() <= 1
+    np.testing.assert_array_equal(out_f['present'], out_e['present'])
