@@ -206,6 +206,7 @@ def main(args):
     config['minimap2_index'] = args.align if args.align else None
     config['device_batch_size'] = args.device_batch_size
     config['wire_precision'] = args.wire_precision
+    config['pallas'] = args.pallas
     config['resume'] = args.resume
     config['io_threads'] = 2
     config['nobasecall_stop_trigger'] = 1000
@@ -328,6 +329,10 @@ def __main__():
     group.add_argument('--device-batch-size', default=128, type=int,
                        metavar='SIZE',
                        help='reads per device batch (default: 128)')
+    group.add_argument('--pallas', default='auto',
+                       choices=('auto', 'always', 'never'),
+                       help='fused Pallas TPU kernels for the Viterbi '
+                            'decode (default: auto — on for TPU backends)')
     group.add_argument('--wire-precision', default='exact',
                        choices=('exact', 'fast'),
                        help='host->device signal transport: "exact" u16 '

@@ -110,6 +110,7 @@ DEFAULT_OPTIONS = dict(
     resume=False,
     device_batch_size=128,
     wire_precision='exact',  # 'exact' u16 | 'fast' u8 per-read affine
+    pallas='auto',           # fused TPU kernels: 'auto' | 'always' | 'never'
     use_tpu=True,
     mesh_shape=None,         # None => all local devices on a 1-D 'batch' mesh
     io_threads=2,

@@ -25,11 +25,16 @@ class ShardedEngine:
         self.n_devices = self.mesh.devices.size
         self._sharding = batch_sharding(self.mesh)
         # same u16-packed program as the single-device path so wire format
-        # and numerics are identical at any mesh size
-        self._jit = jax.jit(
-            engine._stage1_packed_impl,
-            in_shardings=(self._sharding,),
-            out_shardings=None)
+        # and numerics are identical at any mesh size. shard_map (not bare
+        # pjit) so the per-device program is explicit: reads split along
+        # 'batch', weights replicated as closure constants, and fused
+        # Pallas kernels stay legal inside the sharded region.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        self._jit = jax.jit(shard_map(
+            engine._stage1_packed_impl, mesh=self.mesh,
+            in_specs=(P(BATCH_AXIS),), out_specs=P(BATCH_AXIS),
+            check_rep=False))
 
     def run_stage1(self, pooled, pooled_len, head_len=None, head_valid=None):
         """numpy in -> numpy out; pads the batch to a multiple of the mesh

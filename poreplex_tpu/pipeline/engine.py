@@ -22,9 +22,27 @@ from ..models.scaler import ScalerModel
 from ..models.demux import DemuxModel
 from ..models.segmentation import SegmentationHMM
 from ..ops import rnn, viterbi as vit_ops, normalize
+from ..ops import pallas_viterbi
 
 STATE_ADAPTER = 'adapter'
 STATE_POLYA = 'polya-tail'
+
+
+def _default_platform(device=None):
+    """Platform the jitted programs will actually run on. Checked in
+    order: an explicit device, JAX_PLATFORMS (some TPU plugins register
+    themselves even when it says cpu), the pinned default device (tests
+    pin CPU), then the first visible device."""
+    import os
+    if device is not None:
+        return device.platform
+    env = os.environ.get('JAX_PLATFORMS', '')
+    if env and 'tpu' not in env and 'axon' not in env:
+        return env.split(',')[0]
+    d = jax.config.jax_default_device
+    if d is not None:
+        return d.platform
+    return jax.devices()[0].platform
 
 
 class DeviceEngine:
@@ -62,6 +80,13 @@ class DeviceEngine:
         # signal_loader.py:212-231 vs :233-264), so only ONE signal array
         # crosses the wire and the head is reconstructed on device.
         self.wire_frames = max(self.seg_frames, self.scaler.pooled_length)
+
+        # Pallas kernels: 'auto' uses the fused single-kernel Viterbi on
+        # TPU (bit-identical paths, ~2.8x faster than the lax.scan
+        # formulation) and the portable XLA path elsewhere.
+        mode = config.get('pallas', 'auto')
+        self.use_pallas = mode == 'always' or (
+            mode == 'auto' and _default_platform(device) == 'tpu')
 
         # wire precision over the host->device transport:
         #   'exact' — u16 fixed point, 1/256 pA steps (finer than the
@@ -121,8 +146,10 @@ class DeviceEngine:
         scaled = pooled * scaling[:, 0:1] + scaling[:, 1:2]
 
         # PHASE C1: segmentation Viterbi
-        path, logp = vit_ops.viterbi(scaled, pooled_len, m.log_start,
-                                     m.log_trans, m.mus, m.sigmas, m.logws)
+        vit_fn = pallas_viterbi.viterbi if self.use_pallas else \
+            vit_ops.viterbi
+        path, logp = vit_fn(scaled, pooled_len, m.log_start,
+                            m.log_trans, m.mus, m.sigmas, m.logws)
         first, last, present = vit_ops.segment_extents(path, pooled_len,
                                                        m.nstates)
 

@@ -81,3 +81,37 @@ def test_unsplit_model_loads_and_decodes(preset):
     assert 'adapter' in segs
     a0, a1 = segs['adapter']
     assert 20 <= a0 <= 30 and 60 <= a1 <= 70
+
+
+def test_pallas_viterbi_matches_xla(preset):
+    """The fused Pallas kernel (interpret mode on CPU) must produce
+    bit-identical paths and matching log-probs vs the lax.scan kernel."""
+    import jax
+    from poreplex_tpu.ops import viterbi as vx, pallas_viterbi as vp
+
+    spec = preset['segmentation_model']
+    m = SegmentationHMM(spec)
+    rng = np.random.RandomState(17)
+    B, T = 4, 160
+    x = np.zeros((B, T), np.float32)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        L = int(rng.randint(60, T + 1))
+        layout = [(71.5, 3.7, int(L * .05)), (102.1, 3.9, int(L * .05)),
+                  (112.0, 4.8, int(L * .05)), (80.5, 7.4, int(L * .35)),
+                  (108.95, 2.5, int(L * .15))]
+        layout.append((96.0, 11.0, L - sum(p[2] for p in layout)))
+        sig = synth_signal(rng, layout)
+        x[i, :L] = sig
+        lens[i] = L
+
+    p_ref, lp_ref = jax.jit(lambda a, b: vx.viterbi(
+        a, b, m.log_start, m.log_trans, m.mus, m.sigmas, m.logws))(x, lens)
+    p_new, lp_new = vp.viterbi(jnp.asarray(x), jnp.asarray(lens),
+                               m.log_start, m.log_trans, m.mus, m.sigmas,
+                               m.logws, interpret=True)
+    p_ref, p_new = np.asarray(p_ref), np.asarray(p_new)
+    for i in range(B):
+        np.testing.assert_array_equal(p_new[i, :lens[i]], p_ref[i, :lens[i]])
+    np.testing.assert_allclose(np.asarray(lp_new), np.asarray(lp_ref),
+                               rtol=1e-5, atol=1e-3)
