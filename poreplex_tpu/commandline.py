@@ -208,6 +208,7 @@ def main(args):
     config['wire_precision'] = args.wire_precision
     config['pallas'] = args.pallas
     config['resume'] = args.resume
+    config['parallel'] = max(1, args.parallel)
     config['io_threads'] = 2
     config['nobasecall_stop_trigger'] = 1000
     (config['label_names'], config['barcode_names'],
@@ -326,6 +327,12 @@ def __main__():
                        help='suppress all questions')
 
     group = parser.add_argument_group('Pipeline Options')
+    group.add_argument('-p', '--parallel', default=1, type=int,
+                       metavar='COUNT',
+                       help='number of host ingest worker threads '
+                            '(poreplex-compatible flag; device compute is '
+                            'batched on the accelerator regardless; '
+                            'default: 1)')
     group.add_argument('--device-batch-size', default=128, type=int,
                        metavar='SIZE',
                        help='reads per device batch (default: 128)')

@@ -61,7 +61,11 @@ class ProcessingSession:
 
         self.executor_compute = ThreadPoolExecutor(1)
         self.executor_io = ThreadPoolExecutor(config.get('io_threads', 2))
-        self.executor_mon = ThreadPoolExecutor(2)
+        # ingest threads: the poreplex `-p/--parallel` knob
+        # (poreplex/pipeline.py:96) maps to host-side FAST5 ingest here —
+        # device compute is batched on the accelerator regardless
+        self.executor_mon = ThreadPoolExecutor(
+            max(2, config.get('parallel', 1)))
 
         self.loop = None
         self.fastq_writer = self.fast5_writer = None
