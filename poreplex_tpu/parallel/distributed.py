@@ -53,22 +53,51 @@ def allreduce_counts(count_matrix, mesh=None):
     return np.asarray(summed).sum(axis=0)
 
 
+# Closed vocabularies of the reference's status lattice / label taxonomy
+# (poreplex/io.py:245-260, poreplex/signal_analyzer.py:281-286): count dicts
+# are densified onto these axes so the cross-host reduction is one numeric
+# allreduce instead of object serialization.
+LABEL_VOCAB = ('pass', 'fail', 'artifact')
+STATUS_VOCAB = (
+    'okay', 'scaler_signal_too_short', 'sequence_too_short',
+    'irregular_fast5', 'basecall_table_incomplete', 'adapter_not_detected',
+    'not_basecalled', 'scaling_qc_fail', 'disappeared', 'unknown_error',
+    'unsplit_read')
+
+
+def counts_to_matrix(tracker):
+    """Densify a FinalSummaryTracker's sparse {(label, barcode, status):
+    count} dict into an int64 [label, barcode, status] matrix over the
+    canonical vocabularies (barcode axis = tracker.barcode_reporting_order,
+    None last)."""
+    barcodes = tracker.barcode_reporting_order
+    bc_index = {bc: i for i, bc in enumerate(barcodes)}
+    unknown = STATUS_VOCAB.index('unknown_error')
+    mat = np.zeros((len(LABEL_VOCAB), len(barcodes), len(STATUS_VOCAB)),
+                   np.int64)
+    for (label, barcode, status), cnt in tracker.counts.items():
+        li = LABEL_VOCAB.index(label) if label in LABEL_VOCAB else 1
+        bi = bc_index.get(barcode, len(barcodes) - 1)
+        si = (STATUS_VOCAB.index(status) if status in STATUS_VOCAB
+              else unknown)
+        mat[li, bi, si] += cnt
+    return mat
+
+
+def matrix_to_counts(mat, tracker):
+    """Inverse of counts_to_matrix: sparse dict of the non-zero cells."""
+    barcodes = tracker.barcode_reporting_order
+    counts = {}
+    for li, bi, si in zip(*np.nonzero(mat)):
+        key = (LABEL_VOCAB[li], barcodes[bi], STATUS_VOCAB[si])
+        counts[key] = int(mat[li, bi, si])
+    return counts
+
+
 def merge_final_counts(tracker):
-    """Reduce a FinalSummaryTracker's sparse count dict across hosts.
-    Returns a merged {key: count} dict on every host."""
+    """Reduce a FinalSummaryTracker's count dict across hosts via one dense
+    numeric allreduce. Returns a merged {key: count} dict on every host."""
     if jax.process_count() == 1:
         return dict(tracker.counts)
-    from jax.experimental import multihost_utils
-    # serialize sparse keys deterministically: gather as object list
-    items = sorted(
-        ((str(label), -1 if barcode is None else int(barcode), str(status)),
-         int(cnt))
-        for (label, barcode, status), cnt in tracker.counts.items())
-    gathered = multihost_utils.process_allgather(items, tiled=False) \
-        if items else []
-    merged = {}
-    for host_items in (gathered if isinstance(gathered, list) else [items]):
-        for (label, barcode, status), cnt in host_items:
-            key = (label, None if barcode == -1 else barcode, status)
-            merged[key] = merged.get(key, 0) + cnt
-    return merged
+    merged = allreduce_counts(counts_to_matrix(tracker))
+    return matrix_to_counts(merged, tracker)

@@ -29,12 +29,20 @@ class ShardedEngine:
         # pjit) so the per-device program is explicit: reads split along
         # 'batch', weights replicated as closure constants, and fused
         # Pallas kernels stay legal inside the sharded region.
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
-        self._jit = jax.jit(shard_map(
-            engine._stage1_packed_impl, mesh=self.mesh,
-            in_specs=(P(BATCH_AXIS),), out_specs=P(BATCH_AXIS),
-            check_rep=False))
+        shard_map = getattr(jax, 'shard_map', None)
+        if shard_map is not None:
+            smapped = shard_map(
+                engine._stage1_packed_impl, mesh=self.mesh,
+                in_specs=(P(BATCH_AXIS),), out_specs=P(BATCH_AXIS),
+                check_vma=False)
+        else:
+            from jax.experimental.shard_map import shard_map as shard_map_exp
+            smapped = shard_map_exp(
+                engine._stage1_packed_impl, mesh=self.mesh,
+                in_specs=(P(BATCH_AXIS),), out_specs=P(BATCH_AXIS),
+                check_rep=False)
+        self._jit = jax.jit(smapped)
 
     def run_stage1(self, pooled, pooled_len, head_len=None, head_valid=None):
         """numpy in -> numpy out; pads the batch to a multiple of the mesh

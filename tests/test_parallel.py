@@ -69,6 +69,52 @@ def test_allreduce_counts_single_host():
     np.testing.assert_array_equal(out, counts)
 
 
+def test_final_counts_matrix_roundtrip():
+    """Densify/sparsify must round-trip the tracker's count dict exactly —
+    this is the payload of the cross-host numeric allreduce."""
+    from poreplex_tpu.io.writers import FinalSummaryTracker
+    barcode_names = {None: 'undetermined', 0: 'BC1', 1: 'BC2', 2: 'BC3',
+                     3: 'BC4'}
+    label_names = {'pass': 'pass', 'fail': 'fail', 'artifact': 'artifact'}
+    tracker = FinalSummaryTracker(label_names, barcode_names)
+    tracker.feed_results([
+        {'label': 'pass', 'barcode': 0, 'status': 'okay'},
+        {'label': 'pass', 'barcode': 0, 'status': 'okay'},
+        {'label': 'pass', 'barcode': None, 'status': 'okay'},
+        {'label': 'fail', 'barcode': None, 'status': 'adapter_not_detected'},
+        {'label': 'artifact', 'barcode': 2, 'status': 'unsplit_read'},
+        {'status': 'disappeared'},
+    ])
+    mat = distributed.counts_to_matrix(tracker)
+    assert mat.sum() == 6
+    back = distributed.matrix_to_counts(mat, tracker)
+    assert back == dict(tracker.counts)
+    # single-host merge is the identity
+    assert distributed.merge_final_counts(tracker) == dict(tracker.counts)
+
+
+def test_sharded_stage1_compiles_without_collectives(tiny_engine,
+                                                     cpu_devices):
+    """Scaling-efficiency-by-construction: the sharded stage-1 program must
+    contain NO cross-device collectives (reads are embarrassingly batch
+    parallel; the only communication in the whole workload is the final
+    statistics reduction). This is the structural guarantee behind the
+    >=80%-at-2-hosts scaling target (BASELINE.md) — per-batch work scales
+    linearly because devices never synchronize."""
+    import jax.numpy as jnp
+    mesh = make_mesh(cpu_devices[:8])
+    sharded = ShardedEngine(tiny_engine, mesh)
+    packed = tiny_engine.pack_stage1(
+        *example_inputs(tiny_engine, 16))
+    arg = jax.device_put(jnp.asarray(packed), sharded._sharding)
+    with mesh:
+        hlo = sharded._jit.lower(arg).compile().as_text()
+    for op in ('all-reduce', 'all-gather', 'all-to-all',
+               'collective-permute', 'reduce-scatter',
+               'collective-broadcast'):
+        assert op not in hlo, 'unexpected collective in stage-1: ' + op
+
+
 def test_flat_transport_matches_padded(tiny_engine):
     """Token-packed wire format must give identical results to the padded
     [B, T] format (same u16 quantization, same kernels)."""
