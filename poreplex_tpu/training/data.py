@@ -53,6 +53,66 @@ def demux_dataset(n_per_class, rng, trim_length=300, decoy_fraction=0.2):
             np.asarray(labels, np.int32)[order])
 
 
+def normalize_signal(sig):
+    """med/MAD normalization of the reference's training prep AND runtime
+    demuxer (training/barcodes/scripts/prepare_training_data.py:62-65,
+    poreplex/barcoding.py:77-81)."""
+    med = np.median(sig)
+    mad = np.median(np.abs(sig - med))
+    return (sig - med) / max(0.01, mad * 1.4826)
+
+
+def load_adapter_windows(inventory_path, trim_length=300, read_ids=None,
+                         pad_value=-1000.0):
+    """Load normalized fixed-length adapter windows from an adapter-signal
+    dump inventory (the `--dump-adapter-signals` output; identical HDF5
+    layout to the reference: `adapter/<read_id[:3]>/<read_id>` datasets).
+    Mirrors training/barcodes/scripts/prepare_training_data.py:69-87: trim
+    to the LAST trim_length samples then normalize, or normalize the whole
+    signal and left-pad with -1000.
+
+    Returns (windows [N, trim_length] f32, read_ids list)."""
+    import h5py
+    windows, ids = [], []
+    with h5py.File(inventory_path, 'r') as h5:
+        siggroup = h5['adapter']
+        if read_ids is None:
+            read_ids = [rid for grp in siggroup.values() for rid in grp]
+        for read_id in read_ids:
+            signal = siggroup['{}/{}'.format(read_id[:3], read_id)][:]
+            if len(signal) < trim_length:
+                signal = np.pad(normalize_signal(signal),
+                                (trim_length - len(signal), 0), 'constant',
+                                constant_values=pad_value)
+            elif len(signal) > trim_length:
+                signal = normalize_signal(signal[-trim_length:])
+            else:
+                signal = normalize_signal(signal)
+            windows.append(signal.astype(np.float32))
+            ids.append(read_id)
+    return (np.stack(windows) if windows
+            else np.zeros((0, trim_length), np.float32)), ids
+
+
+def dumps_dataset(runs, trim_length=300, rng=None):
+    """Build a demux training set from per-class dump inventories.
+
+    runs: list of (inventory_path, label) with label 0 = decoy,
+    1..4 = barcodes (one barcoded control run per class, the reference's
+    training design: training/barcodes/Snakefile). Returns shuffled
+    (windows [N, T], labels [N])."""
+    windows, labels = [], []
+    for path, label in runs:
+        w, _ = load_adapter_windows(path, trim_length)
+        windows.append(w)
+        labels.append(np.full(len(w), label, np.int32))
+    windows = np.concatenate(windows) if windows else \
+        np.zeros((0, trim_length), np.float32)
+    labels = np.concatenate(labels) if labels else np.zeros(0, np.int32)
+    order = (rng or np.random).permutation(len(windows))
+    return windows[order], labels[order]
+
+
 def scaler_dataset(n, rng, pooled_length=2000, stride=15):
     """Signal heads + ground-truth (scale, shift) targets: a canonical
     pore-model-space head is generated, then distorted by the inverse of a

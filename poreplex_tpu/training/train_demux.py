@@ -118,9 +118,16 @@ def save_checkpoint(path, params, calibration, cost_mat):
 
 
 def train(output_path, steps=300, batch_size=64, n_per_class=400, seed=0,
-          learning_rate=1e-3, eval_fraction=0.25, log=print):
+          learning_rate=1e-3, eval_fraction=0.25, log=print, data=None,
+          mesh=None):
+    """data: optional (windows, labels) — e.g. from data.dumps_dataset over
+    adapter-signal dump inventories of barcoded control runs; defaults to
+    the synthetic set. mesh: optional jax.sharding.Mesh for data-parallel
+    training (batch sharded, params replicated; XLA inserts the gradient
+    all-reduce)."""
     rng = np.random.RandomState(seed)
-    windows, labels = demux_dataset(n_per_class, rng)
+    windows, labels = data if data is not None else \
+        demux_dataset(n_per_class, rng)
     n_eval = int(len(windows) * eval_fraction)
     train_w, train_l = windows[n_eval:], labels[n_eval:]
     eval_w, eval_l = windows[:n_eval], labels[:n_eval]
@@ -131,13 +138,25 @@ def train(output_path, steps=300, batch_size=64, n_per_class=400, seed=0,
     opt_state = optimizer.init(params)
     train_step = make_train_step(optimizer, cost_mat)
 
+    put_batch = jnp.asarray
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+        bs = batch_sharding(mesh)
+        put_batch = lambda x: jax.device_put(jnp.asarray(x), bs)
+        repl = replicated_sharding(mesh)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        # keep the batch divisible by the mesh so shards are even
+        nd = mesh.devices.size
+        batch_size = max(nd, batch_size - batch_size % nd)
+
     key = jax.random.PRNGKey(seed + 1)
     for step in range(steps):
         idx = rng.randint(0, len(train_w), batch_size)
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(
-            params, opt_state, jnp.asarray(train_w[idx]),
-            jnp.asarray(train_l[idx]), sub)
+            params, opt_state, put_batch(train_w[idx]),
+            put_batch(train_l[idx]), sub)
         if step % 50 == 0 or step == steps - 1:
             log('step {:4d} loss {:.4f}'.format(step, float(loss)))
 
@@ -155,15 +174,43 @@ def train(output_path, steps=300, batch_size=64, n_per_class=400, seed=0,
     return acc
 
 
+LABEL_IDS = {'decoy': 0, 'BC1': 1, 'BC2': 2, 'BC3': 3, 'BC4': 4}
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('-o', '--output', required=True)
     parser.add_argument('--steps', type=int, default=300)
     parser.add_argument('--batch-size', type=int, default=64)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--dumps', action='append', default=[],
+                        metavar='LABEL=INVENTORY_H5',
+                        help='adapter-signal dump inventory of a barcoded '
+                             'control run (--dump-adapter-signals output); '
+                             'LABEL one of decoy/BC1..BC4; repeatable — '
+                             'when given, trains on the dumps instead of '
+                             'synthetic data')
+    parser.add_argument('--data-parallel', default=False,
+                        action='store_true',
+                        help='shard training batches over all local devices')
     args = parser.parse_args()
+
+    data = None
+    if args.dumps:
+        from .data import dumps_dataset
+        runs = []
+        for spec in args.dumps:
+            label, path = spec.split('=', 1)
+            runs.append((path, LABEL_IDS[label]))
+        data = dumps_dataset(runs, rng=np.random.RandomState(args.seed))
+
+    mesh = None
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh()
+
     train(args.output, steps=args.steps, batch_size=args.batch_size,
-          seed=args.seed)
+          seed=args.seed, data=data, mesh=mesh)
 
 
 if __name__ == '__main__':

@@ -83,7 +83,10 @@ def save_checkpoint(path, params, transform, input_defs):
 
 
 def train(output_path, steps=400, batch_size=32, n_samples=2000, seed=0,
-          learning_rate=1e-3, eval_fraction=0.2, log=print):
+          learning_rate=1e-3, eval_fraction=0.2, log=print, mesh=None):
+    """mesh: optional jax.sharding.Mesh for data-parallel training (batch
+    sharded over the 1-D 'batch' axis, params replicated — the pjit DP
+    layout of SURVEY.md §2.3)."""
     rng = np.random.RandomState(seed)
     heads, targets = scaler_dataset(n_samples, rng)
     n_eval = int(n_samples * eval_fraction)
@@ -103,11 +106,22 @@ def train(output_path, steps=400, batch_size=32, n_samples=2000, seed=0,
     opt_state = optimizer.init(params)
     train_step = make_train_step(optimizer)
 
+    put_batch = jnp.asarray
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+        bs = batch_sharding(mesh)
+        put_batch = lambda x: jax.device_put(jnp.asarray(x), bs)
+        repl = replicated_sharding(mesh)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        nd = mesh.devices.size
+        batch_size = max(nd, batch_size - batch_size % nd)
+
     for step in range(steps):
         idx = rng.randint(0, len(tr_h), batch_size)
         params, opt_state, loss = train_step(
-            params, opt_state, jnp.asarray(tr_h[idx]),
-            jnp.asarray(tr_std[idx]))
+            params, opt_state, put_batch(tr_h[idx]),
+            put_batch(tr_std[idx]))
         if step % 50 == 0 or step == steps - 1:
             log('step {:4d} loss {:.4f}'.format(step, float(loss)))
 
@@ -132,9 +146,16 @@ def main():
     parser.add_argument('--steps', type=int, default=400)
     parser.add_argument('--batch-size', type=int, default=32)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--data-parallel', default=False,
+                        action='store_true',
+                        help='shard training batches over all local devices')
     args = parser.parse_args()
+    mesh = None
+    if args.data_parallel:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh()
     train(args.output, steps=args.steps, batch_size=args.batch_size,
-          seed=args.seed)
+          seed=args.seed, mesh=mesh)
 
 
 if __name__ == '__main__':

@@ -54,3 +54,76 @@ def test_train_scaler_and_load(tmp_path):
     scaling, qc = model.predict(np.zeros((2, model.pooled_length),
                                          np.float32))
     assert scaling.shape == (2, 2)
+
+
+def _write_adapter_inventory(path, signals):
+    """Write {read_id: signal} in the dump-inventory layout
+    (adapter/<read_id[:3]>/<read_id>)."""
+    import h5py
+    with h5py.File(path, 'w') as h5:
+        for read_id, signal in signals.items():
+            h5.create_dataset('adapter/{}/{}'.format(read_id[:3], read_id),
+                              data=np.asarray(signal, np.float32))
+
+
+def test_load_adapter_windows_trim_and_pad(tmp_path):
+    """Window prep must match the reference's training data prep
+    (prepare_training_data.py:69-87): long signals -> normalize(last T);
+    short signals -> pad(normalize(sig)) with -1000 on the left."""
+    from poreplex_tpu.training.data import (load_adapter_windows,
+                                            normalize_signal)
+    rng = np.random.RandomState(0)
+    long_sig = rng.normal(80, 5, 450).astype(np.float32)
+    short_sig = rng.normal(80, 5, 120).astype(np.float32)
+    inv = str(tmp_path / 'inventory.h5')
+    _write_adapter_inventory(inv, {'aaa-long': long_sig,
+                                   'bbb-short': short_sig})
+    windows, ids = load_adapter_windows(inv, trim_length=300)
+    by_id = dict(zip(ids, windows))
+    np.testing.assert_allclose(by_id['aaa-long'],
+                               normalize_signal(long_sig[-300:]), rtol=1e-5)
+    np.testing.assert_array_equal(by_id['bbb-short'][:180], -1000.0)
+    np.testing.assert_allclose(by_id['bbb-short'][180:],
+                               normalize_signal(short_sig), rtol=1e-5)
+
+
+def test_train_demux_from_dumps(tmp_path):
+    """End-to-end L9 flow: barcoded control dumps -> dataset -> training ->
+    loadable model (the reference's Snakemake pipeline role)."""
+    from poreplex_tpu.training.data import (dumps_dataset,
+                                            make_adapter_window)
+    rng = np.random.RandomState(1)
+    runs = []
+    for label in range(5):      # decoy + BC1..BC4
+        sigs = {}
+        for i in range(24):
+            # un-normalized adapter-region signal in pA space
+            w = make_adapter_window(rng, label - 1) * 5.0 + 80.0
+            sigs['{:03x}-read{}-{}'.format(label * 256 + i, label, i)] = w
+        inv = str(tmp_path / 'inv{}.h5'.format(label))
+        _write_adapter_inventory(inv, sigs)
+        runs.append((inv, label))
+
+    windows, labels = dumps_dataset(runs, rng=rng)
+    assert windows.shape == (120, 300)
+    assert set(labels) == set(range(5))
+
+    path = str(tmp_path / 'demux-dumps.npz')
+    acc = train_demux(path, steps=40, data=(windows, labels),
+                      log=lambda *a: None)
+    model = DemuxModel(path)
+    out_labels, scores = model.predict(windows[:4])
+    assert out_labels.shape == (4,)
+
+
+def test_train_demux_data_parallel_mesh(tmp_path, cpu_devices):
+    """DP training on the virtual 8-device mesh must run and produce a
+    loadable checkpoint (batch sharded, params replicated)."""
+    from poreplex_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(cpu_devices[:8])
+    path = str(tmp_path / 'demux-dp.npz')
+    train_demux(path, steps=10, n_per_class=30, batch_size=16, mesh=mesh,
+                log=lambda *a: None)
+    model = DemuxModel(path)
+    labels, _ = model.predict(np.zeros((2, 300), np.float32))
+    assert labels.shape == (2,)
