@@ -144,6 +144,151 @@ def _viterbi_kernel(ls_ref, lt_ref, mus_ref, sigmas_ref, logws_ref,
     jax.lax.fori_loop(0, T - 1, bwd, last)
 
 
+def _viterbi_extents_kernel(ls_ref, lt_ref, mus_ref, sigmas_ref, logws_ref,
+                            x_ref, len_ref, first_ref, last_ref, logp_ref,
+                            bp_ref, *, nstates, ncomp):
+    """Fused decode + segment extents: identical forward pass, but the
+    backtrace folds the last-contiguous-run extent tracking of
+    ops.viterbi.segment_extents into the backward walk, so the [T, B] path
+    never leaves the chip (the engine only consumes extents; the full-path
+    kernel stays for window decoding)."""
+    T = x_ref.shape[0]
+    B = x_ref.shape[1]
+    S = nstates
+    ident = _identity_word(S)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, B), 0)
+    shift_w = jnp.where(sub_iota < S, 1 << (3 * sub_iota), 0)
+    ls_col = ls_ref[:, 0:1]
+    lens = len_ref[0:1, :]                                         # [1, B]
+
+    def emis(x_t):
+        return _emission_tile(x_t, mus_ref, sigmas_ref, logws_ref, ncomp)
+
+    # ---- forward pass (same as _viterbi_kernel) ----
+    score0 = ls_col + emis(x_ref[pl.ds(0, 1), :])
+    bp_ref[pl.ds(0, 1), :] = jnp.full((1, B), ident, jnp.int32)
+
+    def fwd(t, score):
+        x_t = x_ref[pl.ds(t, 1), :]
+        e_t = emis(x_t)
+        best = None
+        for p in range(S):
+            row = score[p:p + 1, :]
+            t_col = lt_ref[:, p:p + 1]
+            terms = row + t_col
+            best = terms if best is None else jnp.maximum(best, terms)
+        bp = jnp.where(sub_iota < S, S - 1, 0)
+        for p in range(S - 1, -1, -1):
+            row = score[p:p + 1, :]
+            t_col = lt_ref[:, p:p + 1]
+            bp = jnp.where(row + t_col == best, p, bp)
+        new_score = best + e_t
+        active = t < lens
+        score = jnp.where(active, new_score, score)
+        word = jnp.sum(jnp.where(sub_iota < S, bp * shift_w, 0),
+                       axis=0, keepdims=True)
+        word = jnp.where(active, word, ident)
+        bp_ref[pl.ds(t, 1), :] = word
+        return score
+
+    score = jax.lax.fori_loop(1, T, fwd, score0)
+
+    # ---- terminal state / log-prob ----
+    logp = score[0:1, :]
+    for s in range(1, S):
+        logp = jnp.maximum(logp, score[s:s + 1, :])
+    last_state = jnp.zeros((1, B), jnp.int32)
+    for s in range(S - 1, -1, -1):
+        last_state = jnp.where(score[s:s + 1, :] == logp, s, last_state)
+    logp_ref[:, :] = logp
+
+    # ---- backtrace with extent tracking ----
+    # last-run semantics (segment_extents): walking backward, the first
+    # encounter of a state opens its newest run (sets last); the run's
+    # first extends while frames stay contiguous (first == t + 1).
+    neg1 = jnp.full((SUBLANES, B), -1, jnp.int32)
+    cur0 = (sub_iota == last_state) & ((T - 1) < lens)
+    first8 = jnp.where(cur0, T - 1, neg1)
+    last8 = jnp.where(cur0, T - 1, neg1)
+
+    def bwd(i, carry):
+        state, first8, last8 = carry
+        t = T - 2 - i
+        word = bp_ref[pl.ds(t + 1, 1), :]
+        state = jax.lax.shift_right_logical(word, 3 * state) & 7
+        cur = (sub_iota == state) & (t < lens)
+        fresh = cur & (last8 < 0)
+        contig = cur & (first8 == t + 1)
+        first8 = jnp.where(fresh | contig, t, first8)
+        last8 = jnp.where(fresh, t, last8)
+        return state, first8, last8
+
+    _, first8, last8 = jax.lax.fori_loop(
+        0, T - 1, bwd, (last_state, first8, last8))
+    first_ref[:, :] = first8
+    last_ref[:, :] = last8
+
+
+def viterbi_extents(x, lengths, log_start, log_trans, mus, sigmas, logws,
+                    interpret=False):
+    """Fused Viterbi + segment extents (the stage-1 consumer's contract):
+    returns (first [B, S], last [B, S], present [B, S], logp [B]) with the
+    exact semantics of viterbi() followed by ops.viterbi.segment_extents().
+    The [T, B] path stays in VMEM; outputs are O(B) instead of O(B*T)."""
+    batch, seqlen = x.shape
+    nstates = int(np.shape(log_start)[0])
+    ls, lt, mu, sg, lw = _pad_params(np.asarray(log_start, np.float32),
+                                     np.asarray(log_trans, np.float32),
+                                     np.asarray(mus, np.float32),
+                                     np.asarray(sigmas, np.float32),
+                                     np.asarray(logws, np.float32))
+
+    blk = min(batch, LANES)
+    nblk = pl.cdiv(batch, blk)
+    pad = nblk * blk - batch
+    xt = jnp.swapaxes(x, 0, 1)
+    lens2 = lengths.astype(jnp.int32)[None, :]
+    if pad:
+        xt = jnp.pad(xt, [(0, 0), (0, pad)])
+        lens2 = jnp.pad(lens2, [(0, 0), (0, pad)], constant_values=seqlen)
+
+    kernel = functools.partial(_viterbi_extents_kernel, nstates=nstates,
+                               ncomp=mu.shape[1])
+    param_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    first_t, last_t, logp2 = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            param_spec, param_spec, param_spec, param_spec, param_spec,
+            pl.BlockSpec((seqlen, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SUBLANES, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((SUBLANES, nblk * blk), jnp.int32),
+            jax.ShapeDtypeStruct((SUBLANES, nblk * blk), jnp.int32),
+            jax.ShapeDtypeStruct((1, nblk * blk), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((seqlen, blk), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(ls[:, None]), jnp.asarray(lt.T.copy()),
+      jnp.asarray(mu), jnp.asarray(sg), jnp.asarray(lw), xt, lens2)
+
+    first = jnp.swapaxes(first_t[:nstates, :batch], 0, 1)
+    last = jnp.swapaxes(last_t[:nstates, :batch], 0, 1)
+    return first, last, last >= 0, logp2[0, :batch]
+
+
 def viterbi(x, lengths, log_start, log_trans, mus, sigmas, logws,
             interpret=False):
     """Drop-in replacement for ops.viterbi.viterbi on TPU.

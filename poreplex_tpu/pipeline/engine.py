@@ -145,13 +145,18 @@ class DeviceEngine:
         # scale pooled signal (poly1d([scale, shift]))
         scaled = pooled * scaling[:, 0:1] + scaling[:, 1:2]
 
-        # PHASE C1: segmentation Viterbi
-        vit_fn = pallas_viterbi.viterbi if self.use_pallas else \
-            vit_ops.viterbi
-        path, logp = vit_fn(scaled, pooled_len, m.log_start,
-                            m.log_trans, m.mus, m.sigmas, m.logws)
-        first, last, present = vit_ops.segment_extents(path, pooled_len,
-                                                       m.nstates)
+        # PHASE C1: segmentation Viterbi — the fused kernel keeps the
+        # [T, B] path in VMEM and emits only the O(B) segment extents
+        if self.use_pallas:
+            first, last, present, logp = pallas_viterbi.viterbi_extents(
+                scaled, pooled_len, m.log_start, m.log_trans, m.mus,
+                m.sigmas, m.logws)
+        else:
+            path, logp = vit_ops.viterbi(scaled, pooled_len, m.log_start,
+                                         m.log_trans, m.mus, m.sigmas,
+                                         m.logws)
+            first, last, present = vit_ops.segment_extents(path, pooled_len,
+                                                           m.nstates)
 
         out = {
             'scaling': scaling, 'qc_ok': qc_ok,

@@ -115,3 +115,45 @@ def test_pallas_viterbi_matches_xla(preset):
         np.testing.assert_array_equal(p_new[i, :lens[i]], p_ref[i, :lens[i]])
     np.testing.assert_allclose(np.asarray(lp_new), np.asarray(lp_ref),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_viterbi_extents_matches_xla(preset):
+    """The fused extents kernel must reproduce viterbi + segment_extents
+    exactly, including last-run-wins semantics, short/padded reads, and
+    absent states."""
+    import jax
+    from poreplex_tpu.ops import viterbi as vx, pallas_viterbi as vp
+
+    spec = preset['segmentation_model']
+    m = SegmentationHMM(spec)
+    rng = np.random.RandomState(23)
+    B, T = 6, 180
+    x = np.full((B, T), 96.0, np.float32)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        L = int(rng.randint(40, T + 1))
+        layout = [(71.5, 3.7, int(L * .05)), (102.1, 3.9, int(L * .05)),
+                  (112.0, 4.8, int(L * .05)), (80.5, 7.4, int(L * .3)),
+                  (108.95, 2.5, int(L * .1)),
+                  # a second adapter-like block exercises last-run-wins
+                  (80.5, 7.4, int(L * .1))]
+        layout.append((96.0, 11.0, L - sum(p[2] for p in layout)))
+        sig = synth_signal(rng, layout)
+        x[i, :L] = sig
+        lens[i] = L
+
+    def ref(a, b):
+        path, logp = vx.viterbi(a, b, m.log_start, m.log_trans, m.mus,
+                                m.sigmas, m.logws)
+        f, l, p = vx.segment_extents(path, b, m.nstates)
+        return f, l, p, logp
+
+    f_ref, l_ref, p_ref, lp_ref = jax.jit(ref)(x, lens)
+    f_new, l_new, p_new, lp_new = vp.viterbi_extents(
+        jnp.asarray(x), jnp.asarray(lens), m.log_start, m.log_trans,
+        m.mus, m.sigmas, m.logws, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p_new), np.asarray(p_ref))
+    np.testing.assert_array_equal(np.asarray(f_new), np.asarray(f_ref))
+    np.testing.assert_array_equal(np.asarray(l_new), np.asarray(l_ref))
+    np.testing.assert_allclose(np.asarray(lp_new), np.asarray(lp_ref),
+                               rtol=1e-5, atol=1e-3)

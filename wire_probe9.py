@@ -1,0 +1,28 @@
+import time, numpy as np, jax, jax.numpy as jnp, tempfile
+from poreplex_tpu.config import build_config
+from poreplex_tpu.pipeline.engine import DeviceEngine
+d = jax.devices()[0]
+def med(f,k=7):
+    ts=[]
+    for _ in range(k):
+        t0=time.perf_counter(); f(); ts.append(time.perf_counter()-t0)
+    return sorted(ts)[k//2]*1000
+fresh = np.random.randint(0,65535,(1196032,),np.uint16)
+up = lambda: jax.block_until_ready(jax.device_put(fresh, d))
+up(); print('baseline: %.1f ms' % med(up))
+
+tmp = tempfile.mkdtemp()
+config = build_config(tmp, tmp, barcoding=True, device_batch_size=128)
+config['pallas'] = 'never'
+eng = DeviceEngine(config)
+B=128; rng=np.random.RandomState(0)
+reads=[]
+for _ in range(B):
+    L=int(rng.uniform(2000,eng.seg_frames))
+    reads.append((rng.normal(90,12,L).astype(np.float32), L, min(2000,L)))
+wire,n = eng.pack_stage1_flat(reads)
+t0=time.perf_counter(); jax.block_until_ready(eng.dispatch_stage1_flat(wire))
+print('exec+compile (pallas=never) done')
+fa=jnp.asarray(wire[0]); ma=jnp.asarray(wire[1])
+print('exec resident (pallas=never): %.1f ms' % med(lambda: jax.block_until_ready(eng._stage1_flat(fa,ma))))
+print('upload after exec (pallas=never): %.1f ms' % med(up))
