@@ -22,7 +22,7 @@ from ..ops import rnn
 
 class ScalerModel:
 
-    def __init__(self, model_path, qc_threshold=0.02):
+    def __init__(self, model_path, qc_threshold=0.02, input_length=None):
         data = np.load(model_path)
         self.params = {
             'lstm1': {k: jnp.asarray(data['lstm1/' + k])
@@ -33,7 +33,10 @@ class ScalerModel:
                       for k in ('kernel', 'bias')},
         }
         meta = json.loads(bytes(data['meta']).decode())
-        self.input_length = int(meta['input']['length'])      # 30000
+        # input_length override: the LSTM weights are length-independent, so
+        # dry-run/compile-check paths may request a shorter head window.
+        self.input_length = (int(input_length) if input_length
+                             else int(meta['input']['length']))  # 30000
         self.input_stride = int(meta['input']['stride'])      # 15
         self.min_length = int(meta['input']['min_length'])    # 9000
         self.pooled_length = self.input_length // self.input_stride

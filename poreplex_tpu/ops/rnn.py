@@ -28,6 +28,14 @@ def matmul_f32(a, b):
     return jnp.matmul(a, b, precision=PRECISION)
 
 
+def default_unroll():
+    """Scan unroll factor: 8 amortizes the TPU sequential-loop overhead, but
+    multiplies XLA:CPU compile time for the 2000-step scaler scan (the
+    virtual-device dryrun path), where the loop overhead it hides does not
+    exist. Resolved at trace time from the active backend."""
+    return 8 if jax.default_backend() == 'tpu' else 1
+
+
 def accurate_tanh(x):
     """tanh via expm1 — XLA's builtin tanh is a fast approximation with
     ~4e-5 absolute error, which compounds through long recurrences; this
@@ -50,7 +58,7 @@ def lstm_gates(z, c_prev):
     return h, c
 
 
-def lstm(params, xs, reverse=False, return_sequences=True, unroll=8):
+def lstm(params, xs, reverse=False, return_sequences=True, unroll=None):
     """Run an LSTM over a batch of sequences.
 
     params: dict with 'kernel' [I, 4H], 'recurrent' [H, 4H], 'bias' [4H]
@@ -58,6 +66,8 @@ def lstm(params, xs, reverse=False, return_sequences=True, unroll=8):
     Returns [B, T, H] if return_sequences else [B, H] (last step).
     ``unroll`` amortizes the TPU loop overhead across scan iterations.
     """
+    if unroll is None:
+        unroll = default_unroll()
     kernel = params['kernel']
     recurrent = params['recurrent']
     bias = params['bias']
@@ -89,12 +99,14 @@ def lstm(params, xs, reverse=False, return_sequences=True, unroll=8):
     return jnp.swapaxes(hs, 0, 1)
 
 
-def lstm2_stacked(params1, params2, xs, unroll=8):
+def lstm2_stacked(params1, params2, xs, unroll=None):
     """Two stacked LSTM layers fused into ONE scan (layer 2 consumes layer
     1's output at the same timestep), returning layer 2's final hidden
     state. Halves the sequential loop overhead vs two scans and never
     materializes the [B, T, H] intermediate. Numerically identical to
     lstm(p2, lstm(p1, xs), return_sequences=False)."""
+    if unroll is None:
+        unroll = default_unroll()
     k1, r1, b1 = params1['kernel'], params1['recurrent'], params1['bias']
     k2, r2, b2 = params2['kernel'], params2['recurrent'], params2['bias']
     batch, seqlen, _ = xs.shape
@@ -117,12 +129,14 @@ def lstm2_stacked(params1, params2, xs, unroll=8):
     return h2
 
 
-def bidirectional_lstm(fwd_params, bwd_params, xs, unroll=8):
+def bidirectional_lstm(fwd_params, bwd_params, xs, unroll=None):
     """Keras Bidirectional(merge_mode='concat') over a batch: concatenates
     forward output with the time-realigned backward output.
 
     Runs both directions in ONE scan by doubling the batch (the reversed
     sequence rides the same loop), so the sequential cost is one pass."""
+    if unroll is None:
+        unroll = default_unroll()
     b, seqlen, _ = xs.shape
 
     zx_f = matmul_f32(xs.reshape(b * seqlen, -1), fwd_params['kernel']) + \

@@ -55,7 +55,8 @@ class DeviceEngine:
         self.scan_limit = config['segmentation']['segmentation_scan_limit']
         self.seg_frames = self.scan_limit // self.stride      # 6666
 
-        self.scaler = ScalerModel(sp['scaler_model'], sp['scaler_qc_threshold'])
+        self.scaler = ScalerModel(sp['scaler_model'], sp['scaler_qc_threshold'],
+                                  input_length=sp.get('scaler_input_length'))
         self.segmodel = SegmentationHMM(config['segmentation_model'])
         self.unsplitmodel = SegmentationHMM(
             config['unsplit_read_detection_model'])
