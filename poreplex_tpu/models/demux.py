@@ -34,6 +34,7 @@ class DemuxModel:
         self.calibration_table = np.asarray(data['calibration'], np.float64)
         self.loss_weights = np.asarray(data['loss_weights'])
         self.number_of_decoy_labels = int(number_of_decoy_labels)
+        self.unroll = None   # scan unroll; resolved by the owning engine
         self._apply = jax.jit(self._forward)
 
     def score_threshold(self, quality_threshold):
@@ -58,8 +59,10 @@ class DemuxModel:
         """signals: [B, T] normalized adapter windows -> softmax probs [B, 5]."""
         x = signals[..., None]
         h = rnn.bidirectional_lstm(self.params['bilstm_fwd'],
-                                   self.params['bilstm_bwd'], x)
-        h = rnn.lstm(self.params['lstm2'], h, return_sequences=False)
+                                   self.params['bilstm_bwd'], x,
+                                   unroll=self.unroll)
+        h = rnn.lstm(self.params['lstm2'], h, return_sequences=False,
+                     unroll=self.unroll)
         logits = rnn.dense(self.params['dense'], h)
         return jax.nn.softmax(logits, axis=-1)
 

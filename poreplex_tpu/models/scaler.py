@@ -35,10 +35,21 @@ class ScalerModel:
         meta = json.loads(bytes(data['meta']).decode())
         # input_length override: the LSTM weights are length-independent, so
         # dry-run/compile-check paths may request a shorter head window.
+        # Predictions at shortened lengths diverge from the reference Keras
+        # scaler — never use the override on a production path.
         self.input_length = (int(input_length) if input_length
                              else int(meta['input']['length']))  # 30000
         self.input_stride = int(meta['input']['stride'])      # 15
         self.min_length = int(meta['input']['min_length'])    # 9000
+        if input_length:
+            if self.input_length % self.input_stride != 0:
+                raise ValueError(
+                    'scaler_input_length override ({}) must be a multiple '
+                    'of the input stride ({})'.format(self.input_length,
+                                                      self.input_stride))
+            # keep the minimum-signal gate consistent with the shortened
+            # window, or every real read would be rejected upstream
+            self.min_length = min(self.min_length, self.input_length)
         self.pooled_length = self.input_length // self.input_stride
         self.model_version = meta.get('model_version', '')
 
@@ -58,13 +69,15 @@ class ScalerModel:
             np.array([self.qc_scale_range, self.qc_shift_range]),
             dtype=jnp.float32)
         self._xfrm = jnp.asarray(self.xfrm, dtype=jnp.float32)
+        self.unroll = None   # scan unroll; resolved by the owning engine
         self._apply = jax.jit(self._forward)
 
     def _forward(self, signal_heads):
         """signal_heads: [B, pooled_length] f32 -> (params [B,2], qc_ok [B])."""
         x = signal_heads[..., None]
         # both LSTM layers fused into one scan (ops/rnn.py)
-        h = rnn.lstm2_stacked(self.params['lstm1'], self.params['lstm2'], x)
+        h = rnn.lstm2_stacked(self.params['lstm1'], self.params['lstm2'], x,
+                              unroll=self.unroll)
         pred = rnn.dense(self.params['dense'], h)          # [B, 2]
         scaling = pred * self._xfrm[:, 0] + self._xfrm[:, 1]
         qc_ok = jnp.all((scaling >= self._ranges[:, 0]) &

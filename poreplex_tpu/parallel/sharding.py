@@ -23,38 +23,54 @@ class ShardedEngine:
         self.engine = engine
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = self.mesh.devices.size
+        # compile for where the mesh actually lives (a CPU dry-run mesh on
+        # a TPU host must use CPU unroll/kernel settings, and vice versa)
+        engine.retarget(self.mesh.devices.flat[0].platform)
         self._sharding = batch_sharding(self.mesh)
         # same u16-packed program as the single-device path so wire format
         # and numerics are identical at any mesh size. shard_map (not bare
         # pjit) so the per-device program is explicit: reads split along
         # 'batch', weights replicated as closure constants, and fused
         # Pallas kernels stay legal inside the sharded region.
-        from jax.sharding import PartitionSpec as P
         shard_map = getattr(jax, 'shard_map', None)
         if shard_map is not None:
             smapped = shard_map(
                 engine._stage1_packed_impl, mesh=self.mesh,
-                in_specs=(P(BATCH_AXIS),), out_specs=P(BATCH_AXIS),
-                check_vma=False)
+                in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                out_specs=P(BATCH_AXIS), check_vma=False)
         else:
             from jax.experimental.shard_map import shard_map as shard_map_exp
             smapped = shard_map_exp(
                 engine._stage1_packed_impl, mesh=self.mesh,
-                in_specs=(P(BATCH_AXIS),), out_specs=P(BATCH_AXIS),
-                check_rep=False)
+                in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                out_specs=P(BATCH_AXIS), check_rep=False)
         self._jit = jax.jit(smapped)
+
+    def dispatch_stage1(self, packed):
+        """Non-blocking sharded dispatch of a pack_stage1 payload: pads the
+        batch to a multiple of the mesh size, places shards, and returns
+        (handle, n) for collect_stage1."""
+        arr, qparams = packed
+        n = arr.shape[0]
+        pad = (-n) % self.n_devices
+        if pad:
+            arr = np.pad(arr, [(0, pad), (0, 0)])
+            qp = np.pad(qparams, [(0, pad), (0, 0)])
+            qp[n:, 1] = 1.0
+        else:
+            qp = qparams
+        args = (jax.device_put(jnp.asarray(arr), self._sharding),
+                jax.device_put(jnp.asarray(qp), self._sharding))
+        with self.mesh:
+            return self._jit(*args), n
+
+    def collect_stage1(self, handle):
+        out, n = handle
+        return self.engine._unpack_stage1(np.asarray(out)[:n])
 
     def run_stage1(self, pooled, pooled_len, head_len=None, head_valid=None):
         """numpy in -> numpy out; pads the batch to a multiple of the mesh
         size and shards reads across devices."""
-        eng = self.engine
-        n = np.asarray(pooled).shape[0]
-        pad = (-n) % self.n_devices
-        packed = eng.pack_stage1(pooled, pooled_len, head_len, head_valid)
-        if pad:
-            packed = np.pad(packed, [(0, pad), (0, 0)])
-
-        arg = jax.device_put(jnp.asarray(packed), self._sharding)
-        with self.mesh:
-            out = self._jit(arg)
-        return eng._unpack_stage1(np.asarray(out)[:n])
+        packed = self.engine.pack_stage1(pooled, pooled_len, head_len,
+                                         head_valid)
+        return self.collect_stage1(self.dispatch_stage1(packed))

@@ -100,7 +100,6 @@ class BatchAnalyzer:
         with trace('B:device_stage1'):
             stage1 = self._run_stage1(records)
 
-        active = []
         for i, rec in enumerate(records):
             if not stage1['qc_ok'][i]:
                 rec.set_status('scaling_qc_fail', stop=True)
@@ -109,7 +108,6 @@ class BatchAnalyzer:
                 np.asarray(stage1['scaling'][i], np.float32))
             rec.segments = self.engine.segments_for_read(
                 stage1['first'][i], stage1['last'][i], stage1['present'][i])
-            active.append((i, rec))
 
         # ---- PHASE C: per-read flow with batched sub-phases ----
         failed = {}     # rec -> SignalAnalysisError status

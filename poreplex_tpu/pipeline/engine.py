@@ -82,26 +82,25 @@ class DeviceEngine:
         # crosses the wire and the head is reconstructed on device.
         self.wire_frames = max(self.seg_frames, self.scaler.pooled_length)
 
-        # Pallas kernels: 'auto' uses the fused single-kernel Viterbi on
-        # TPU (bit-identical paths, ~2.8x faster than the lax.scan
-        # formulation) and the portable XLA path elsewhere.
-        mode = config.get('pallas', 'auto')
-        self.use_pallas = mode == 'always' or (
-            mode == 'auto' and _default_platform(device) == 'tpu')
+        # Platform-dependent knobs resolved from where the program will
+        # actually execute (not the process default backend — a CPU mesh on
+        # a TPU-attached host must get CPU settings): the fused Pallas
+        # Viterbi on TPU, and the RNN scan unroll factor (8 amortizes TPU
+        # loop overhead; 1 keeps XLA:CPU compile times sane).
+        self._pallas_mode = config.get('pallas', 'auto')
+        self._apply_platform(_default_platform(device))
 
-        # wire precision over the host->device transport:
-        #   'exact' — u16 fixed point, 1/256 pA steps (finer than the
-        #             instrument's own DAC granularity of ~0.0096 pA after
-        #             stride-15 pooling: lossless in practice);
-        #   'fast'  — u8 per-read affine (min/max), ~0.5 pA steps: ~5% of
-        #             the narrowest HMM state sigma, halves upload bytes.
+        # wire precision over the host->device transport — both modes use
+        # per-read affine quantization (v = lo + q * step over the read's
+        # own [min, max] span), so negative pA excursions (open pore,
+        # stalls) and instrument ranges beyond 256 pA survive intact:
+        #   'exact' — u16, 65535 steps: <=0.01 pA error even across a full
+        #             1.4 nA instrument range (finer than the raw DAC
+        #             granularity of ~0.17 pA);
+        #   'fast'  — u8, 254 steps: ~5% of the narrowest HMM state sigma
+        #             on typical reads, halves upload bytes.
         self.wire_precision = config.get('wire_precision', 'exact')
         self.wire_fast = self.wire_precision == 'fast'
-
-        self._stage1 = jax.jit(self._stage1_impl)
-        self._stage1_packed = jax.jit(self._stage1_packed_impl)
-        self._stage1_flat = jax.jit(self._stage1_flat_impl)
-        self._stage1_flat8 = jax.jit(self._stage1_flat8_impl)
 
         # token-packed wire sizes: reads are concatenated end-to-end so the
         # upload pays for actual frames, not [B, seg_frames] padding; a few
@@ -110,6 +109,26 @@ class DeviceEngine:
         self.batch_rows = B
         base = max(self.wire_frames + 1, 1664)
         self.flat_sizes = sorted({B * base // 3, 2 * B * base // 3, B * base})
+
+    def _apply_platform(self, platform):
+        self.platform = platform
+        self.use_pallas = self._pallas_mode == 'always' or (
+            self._pallas_mode == 'auto' and platform == 'tpu')
+        self.unroll = 8 if platform == 'tpu' else 1
+        self.scaler.unroll = self.unroll
+        if self.demux is not None:
+            self.demux.unroll = self.unroll
+        self._stage1_packed = jax.jit(self._stage1_packed_impl)
+        self._stage1_flat = jax.jit(self._stage1_flat_impl)
+
+    def retarget(self, platform):
+        """Re-resolve platform-dependent compilation knobs (Pallas usage,
+        scan unroll) for programs that will execute somewhere other than
+        the default placement — e.g. a CPU dry-run mesh on a TPU host.
+        Re-creates the jit wrappers so nothing traced with the old settings
+        is reused."""
+        if platform != self.platform:
+            self._apply_platform(platform)
 
     # ------------------------------------------------------------------
     def _derive_heads(self, pooled, head_len):
@@ -192,20 +211,35 @@ class DeviceEngine:
     # ------------------------------------------------------------------
     # Packed marshalling: the remote-TPU transport pays a fixed round-trip
     # per transfer (~25ms over the axon tunnel) plus ~20ms/MB of bandwidth,
-    # so the batch crosses the wire as ONE array each way, with the signal
-    # payload quantized to u16 fixed point (1/256 pA steps — two orders of
-    # magnitude below pore noise; dequantized on device).
+    # so the batch crosses the wire as ONE quantized array plus a tiny
+    # per-read (lo, step) side table, dequantized on device.
 
-    WIRE_SCALE = 256.0   # pA -> u16 fixed point
+    @staticmethod
+    def _quantize_affine(values, qmax):
+        """Per-read affine quantization of a 1-D f32 signal onto
+        [0, qmax] integer steps. Returns (q_f32, lo, step)."""
+        if len(values):
+            lo = float(values.min())
+            hi = float(values.max())
+        else:
+            lo = hi = 0.0
+        step = max((hi - lo) / qmax, 1e-7)
+        q = np.clip(np.round((values - lo) / step), 0, qmax)
+        return q, lo, step
 
-    def _stage1_packed_impl(self, packed):
+    def _stage1_packed_impl(self, packed, qparams):
         """packed: [B, wire_frames + 3] u16
-        (pooled*256 | head_len | head_valid | pooled_len)."""
+        (quantized pooled | head_len | head_valid | pooled_len);
+        qparams: [B, 2] f32 per-read (lo, step) dequantization affine."""
         w = self.wire_frames
-        pooled = packed[:, :w].astype(jnp.float32) / self.WIRE_SCALE
         head_len = packed[:, w].astype(jnp.int32)
         head_valid = packed[:, w + 1] > 0
         pooled_len = packed[:, w + 2].astype(jnp.int32)
+        q = packed[:, :w].astype(jnp.float32)
+        pooled = qparams[:, 0:1] + q * qparams[:, 1:2]
+        stored = jnp.maximum(pooled_len, head_len)[:, None]
+        j = jnp.arange(w)[None, :]
+        pooled = jnp.where(j < stored, pooled, 0.0)
         out = self._stage1_pooled_impl(pooled, pooled_len, head_len,
                                        head_valid)
         return self._pack_outputs(out)
@@ -240,7 +274,9 @@ class DeviceEngine:
         return out
 
     def pack_stage1(self, pooled, pooled_len, head_len=None, head_valid=None):
-        """Marshal one batch into the single u16 wire array.
+        """Marshal one batch into the u16 wire array + dequantization
+        side table. Returns (packed [B, wire_frames+3] u16, qparams [B,2]
+        f32).
 
         pooled: [B, <=wire_frames] f32 pA (pooled stride-`stride` means);
         pooled_len: [B] valid segmentation frames (<= seg_frames);
@@ -254,20 +290,26 @@ class DeviceEngine:
                                   pooled_len).astype(np.uint16)
         if head_valid is None:
             head_valid = np.ones(n, bool)
+        stored = np.minimum(np.maximum(pooled_len, head_len), w)
         packed = np.zeros((n, self.wire_frames + 3), np.uint16)
-        packed[:, :w] = np.clip(np.round(pooled * self.WIRE_SCALE),
-                                0, 65535).astype(np.uint16)
+        qparams = np.zeros((n, 2), np.float32)
+        qparams[:, 1] = 1.0
+        for i in range(n):
+            q, lo, step = self._quantize_affine(pooled[i, :stored[i]], 65535)
+            packed[i, :stored[i]] = q.astype(np.uint16)
+            qparams[i] = (lo, step)
         packed[:, self.wire_frames] = np.asarray(head_len, np.uint16)
         packed[:, self.wire_frames + 1] = np.asarray(head_valid, np.uint16)
         packed[:, self.wire_frames + 2] = pooled_len
-        return packed
+        return packed, qparams
 
     def dispatch_stage1(self, packed):
         """Non-blocking: starts upload + compute, returns the device
         result handle. Use collect_stage1 to await + unpack; keeping a few
         dispatches in flight overlaps host marshalling and wire transfers
         with device compute."""
-        return self._stage1_packed(jnp.asarray(packed))
+        arr, qparams = packed
+        return self._stage1_packed(jnp.asarray(arr), jnp.asarray(qparams))
 
     def collect_stage1(self, handle):
         return self._unpack_stage1(np.asarray(handle))
@@ -294,19 +336,12 @@ class DeviceEngine:
         idx = jnp.clip(offset[:, None] + j, 0, stream.shape[0] - 1)
         return jnp.where(j < stored, jnp.take(stream, idx), 0.0), j
 
-    def _stage1_flat_impl(self, flat, meta):
-        """flat: [FLAT] u16 frame stream; meta: [B, 4] i32
-        (offset, pooled_len, head_len, valid)."""
-        stream = flat.astype(jnp.float32) / self.WIRE_SCALE
-        pooled, _ = self._gather_flat(stream, meta)
-        out = self._stage1_pooled_impl(pooled, meta[:, 1], meta[:, 2],
-                                       meta[:, 3] > 0)
-        return self._pack_outputs(out)
-
-    def _stage1_flat8_impl(self, flat, meta, qparams):
-        """u8 fast wire: flat [FLAT] u8; qparams [B, 2] f32 (lo, step);
-        per-read dequantization v = lo + q * step happens after the gather
-        so each read keeps its own affine range."""
+    def _stage1_flat_impl(self, flat, meta, qparams):
+        """flat: [FLAT] u16 (exact) or u8 (fast) quantized frame stream;
+        meta: [B, 4] i32 (offset, pooled_len, head_len, valid);
+        qparams: [B, 2] f32 (lo, step). Per-read dequantization
+        v = lo + q * step happens after the gather so each read keeps its
+        own affine range (negative / extreme pA survive intact)."""
         stream = flat.astype(jnp.float32)
         q, j = self._gather_flat(stream, meta)
         stored = jnp.maximum(meta[:, 1], meta[:, 2])[:, None]
@@ -337,34 +372,22 @@ class DeviceEngine:
             n += 1
         size = next(s for s in self.flat_sizes if s >= used)
 
-        if self.wire_fast:
-            flat = np.zeros(size, np.uint8)
-            qparams = np.zeros((B, 2), np.float32)
-            qparams[:, 1] = 1.0
-            for i, chunk in enumerate(chunks):
-                lo = float(chunk.min()) if len(chunk) else 0.0
-                hi = float(chunk.max()) if len(chunk) else 0.0
-                step = max((hi - lo) / 254.0, 1e-6)
-                qparams[i] = (lo, step)
-                off = meta[i, 0]
-                flat[off:off + len(chunk)] = np.clip(
-                    np.round((chunk - lo) / step), 0, 255).astype(np.uint8)
-            return (flat, meta, qparams), n
-
-        flat = np.zeros(size, np.float32)
-        if chunks:
-            flat[:used] = np.concatenate(chunks)
-        flat_u16 = np.clip(np.round(flat * self.WIRE_SCALE),
-                           0, 65535).astype(np.uint16)
-        return (flat_u16, meta), n
+        dtype, qmax = ((np.uint8, 254) if self.wire_fast
+                       else (np.uint16, 65535))
+        flat = np.zeros(size, dtype)
+        qparams = np.zeros((B, 2), np.float32)
+        qparams[:, 1] = 1.0
+        for i, chunk in enumerate(chunks):
+            q, lo, step = self._quantize_affine(chunk, qmax)
+            qparams[i] = (lo, step)
+            off = meta[i, 0]
+            flat[off:off + len(chunk)] = q.astype(dtype)
+        return (flat, meta, qparams), n
 
     def dispatch_stage1_flat(self, wire):
-        if self.wire_fast:
-            flat, meta, qparams = wire
-            return self._stage1_flat8(jnp.asarray(flat), jnp.asarray(meta),
-                                      jnp.asarray(qparams))
-        flat, meta = wire
-        return self._stage1_flat(jnp.asarray(flat), jnp.asarray(meta))
+        flat, meta, qparams = wire
+        return self._stage1_flat(jnp.asarray(flat), jnp.asarray(meta),
+                                 jnp.asarray(qparams))
 
     def run_stage1_flat(self, reads):
         """Convenience wrapper: packs + runs as many of ``reads`` as fit;

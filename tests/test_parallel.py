@@ -104,11 +104,12 @@ def test_sharded_stage1_compiles_without_collectives(tiny_engine,
     import jax.numpy as jnp
     mesh = make_mesh(cpu_devices[:8])
     sharded = ShardedEngine(tiny_engine, mesh)
-    packed = tiny_engine.pack_stage1(
+    arr, qparams = tiny_engine.pack_stage1(
         *example_inputs(tiny_engine, 16))
-    arg = jax.device_put(jnp.asarray(packed), sharded._sharding)
+    args = (jax.device_put(jnp.asarray(arr), sharded._sharding),
+            jax.device_put(jnp.asarray(qparams), sharded._sharding))
     with mesh:
-        hlo = sharded._jit.lower(arg).compile().as_text()
+        hlo = sharded._jit.lower(*args).compile().as_text()
     for op in ('all-reduce', 'all-gather', 'all-to-all',
                'collective-permute', 'reduce-scatter',
                'collective-broadcast'):
@@ -117,7 +118,7 @@ def test_sharded_stage1_compiles_without_collectives(tiny_engine,
 
 def test_flat_transport_matches_padded(tiny_engine):
     """Token-packed wire format must give identical results to the padded
-    [B, T] format (same u16 quantization, same kernels)."""
+    [B, T] format (same per-read affine u16 quantization, same kernels)."""
     rng = np.random.RandomState(11)
     eng = tiny_engine
     reads = []
@@ -141,6 +142,41 @@ def test_flat_transport_matches_padded(tiny_engine):
                                    err_msg=key)
     np.testing.assert_array_equal(got['first'], ref['first'])
     np.testing.assert_array_equal(got['last'], ref['last'])
+
+
+def test_wire_handles_negative_and_extreme_pa(tiny_engine):
+    """Real ONT traces go negative (open-pore/stall artifacts) and
+    instrument pA ranges exceed 256; the per-read-affine u16 wire must
+    reproduce the f32 path's Viterbi extents and QC decisions exactly on
+    such signals (VERDICT r1: the old global 1/256-pA fixed point clamped
+    them)."""
+    import jax
+    import jax.numpy as jnp
+    eng = tiny_engine
+    rng = np.random.RandomState(17)
+    B = 4
+    pooled = rng.normal(90, 12, (B, eng.wire_frames)).astype(np.float32)
+    # negative open-pore spikes and >256 pA excursions
+    pooled[0, 50:60] = -180.0
+    pooled[1, 100:110] = 1400.0
+    pooled[2, :] = rng.normal(-40, 5, eng.wire_frames)   # fully negative
+    pooled_len = np.full(B, eng.seg_frames, np.int32)
+    head_len = np.full(B, min(eng.scaler.pooled_length, eng.wire_frames),
+                       np.int32)
+
+    wire = eng.run_stage1(pooled, pooled_len, head_len)
+
+    f32 = jax.jit(eng._stage1_pooled_impl)(
+        jnp.asarray(pooled[:, :eng.wire_frames]), jnp.asarray(pooled_len),
+        jnp.asarray(head_len), jnp.ones(B, bool))
+    np.testing.assert_array_equal(wire['first'],
+                                  np.asarray(f32['first']))
+    np.testing.assert_array_equal(wire['last'], np.asarray(f32['last']))
+    np.testing.assert_array_equal(wire['present'],
+                                  np.asarray(f32['present']))
+    np.testing.assert_array_equal(wire['qc_ok'], np.asarray(f32['qc_ok']))
+    np.testing.assert_allclose(wire['scaling'], np.asarray(f32['scaling']),
+                               rtol=1e-4, atol=1e-3)
 
 
 def test_fast_wire_preserves_decisions(tmp_path_factory, cpu_devices):
