@@ -209,6 +209,10 @@ def main(args):
     config['pallas'] = args.pallas
     config['resume'] = args.resume
     config['parallel'] = max(1, args.parallel)
+    config['mesh_shape'] = args.mesh_shape
+    config['num_nodes'] = args.num_nodes
+    config['node_rank'] = args.node_rank
+    config['coordinator'] = args.coordinator
     config['io_threads'] = 2
     config['nobasecall_stop_trigger'] = 1000
     (config['label_names'], config['barcode_names'],
@@ -220,6 +224,11 @@ def main(args):
 
     logger = init_logging(config)
     test_optional_features(config)
+
+    # multi-host bootstrap must precede any device use so every process
+    # joins the global runtime before the engine compiles
+    from .parallel import distributed
+    distributed.initialize_from_config(config)
 
     logger.info('Starting poreplex-tpu version {}'.format(__version__))
     logger.info('Command line: ' + ' '.join(sys.argv))
@@ -354,6 +363,20 @@ def __main__():
     group.add_argument('--cpu', default=False, action='store_true',
                        help='run device compute on the host CPU backend '
                             'instead of TPU')
+    group.add_argument('--mesh-shape', default=None, type=int, metavar='N',
+                       help='number of local chips for the data-parallel '
+                            'mesh (default: all addressable devices)')
+
+    group = parser.add_argument_group('Distributed (multi-host)')
+    group.add_argument('--num-nodes', default=None, type=int, metavar='N',
+                       help='total number of hosts in the pod slice; reads '
+                            'are sharded across hosts and final counts '
+                            'merged (default: single host)')
+    group.add_argument('--node-rank', default=None, type=int, metavar='I',
+                       help='rank of this host (0..N-1)')
+    group.add_argument('--coordinator', default=None, metavar='HOST:PORT',
+                       help='jax.distributed coordinator address '
+                            '(host 0 of the slice)')
     group.add_argument('--resume', default=False, action='store_true',
                        help='keep the output directory and skip reads '
                             'recorded in its processed-read manifest')

@@ -114,6 +114,10 @@ DEFAULT_OPTIONS = dict(
     use_tpu=True,
     mesh_shape=None,         # None => all local devices on a 1-D 'batch' mesh
     io_threads=2,
+    # multi-host (jax.distributed): all None/1 => single host
+    num_nodes=None,
+    node_rank=None,
+    coordinator=None,
 )
 
 

@@ -9,23 +9,65 @@ scale).
 """
 
 import os
+import zlib
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .mesh import make_mesh
+from .mesh import make_mesh, preferred_platform
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """jax.distributed bootstrap; no-ops on a single process."""
+    """jax.distributed bootstrap; no-ops on a single process. On a CPU
+    backend (tests, dry runs) the gloo collectives implementation is
+    enabled first — without it each process silently sees a 1-process
+    world."""
     if num_processes in (None, 1):
         return False
+    if preferred_platform() == 'cpu':
+        try:
+            jax.config.update('jax_cpu_collectives_implementation', 'gloo')
+        except Exception:
+            pass
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
     return True
+
+
+def initialize_from_config(config):
+    """CLI-level bootstrap from the ``num_nodes`` / ``node_rank`` /
+    ``coordinator`` config keys (TPU pods auto-detect all three when
+    launched through the TPU runtime, in which case plain
+    jax.distributed.initialize() suffices)."""
+    n = config.get('num_nodes')
+    if not n or int(n) <= 1:
+        return False
+    return initialize(coordinator_address=config.get('coordinator'),
+                      num_processes=int(n),
+                      process_id=config.get('node_rank'))
+
+
+def process_info():
+    """(process_index, process_count) of the global runtime; (0, 1) when
+    jax.distributed was never initialized."""
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def owns_entry(readpath, process_index, process_count):
+    """Stable assignment of a (filename, read_id) entry to one host: a
+    CRC32 over both components, identical on every host with zero
+    coordination — the streaming analogue of shard_file_list for entries
+    discovered incrementally (scan + live watch)."""
+    if process_count <= 1:
+        return True
+    key = (readpath[0] + '\0' + readpath[1]).encode()
+    return zlib.crc32(key) % process_count == process_index
 
 
 def shard_file_list(entries, process_index=None, process_count=None):

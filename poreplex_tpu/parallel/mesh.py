@@ -6,6 +6,8 @@ replicated — SURVEY.md §2.3: TP/SP/EP not needed), so the canonical mesh is
 global devices; ingest stays host-local (see distributed.py).
 """
 
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -17,6 +19,33 @@ def local_devices(platform=None):
     if platform:
         return jax.local_devices(backend=platform)
     return jax.local_devices()
+
+
+def preferred_platform():
+    """Platform the production programs should run on. Checked in order:
+    JAX_PLATFORMS (unless a TPU plugin hijacks it), the pinned default
+    device (tests/--cpu pin CPU), then the first visible device."""
+    env = os.environ.get('JAX_PLATFORMS', '')
+    if env and 'tpu' not in env and 'axon' not in env:
+        return env.split(',')[0]
+    d = jax.config.jax_default_device
+    if d is not None:
+        return d.platform
+    return jax.devices()[0].platform
+
+
+def select_devices(config=None):
+    """Devices for the production data-parallel mesh: all addressable
+    devices of the preferred platform, optionally capped by the
+    ``mesh_shape`` config knob (int N => first N devices)."""
+    try:
+        devices = jax.devices(preferred_platform())
+    except RuntimeError:
+        devices = jax.devices()
+    n = (config or {}).get('mesh_shape')
+    if n:
+        devices = devices[:int(n)]
+    return devices
 
 
 def make_mesh(devices=None, axis_name=BATCH_AXIS):

@@ -16,6 +16,24 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .mesh import BATCH_AXIS, batch_sharding, make_mesh
 
 
+def shard_batch_arrays(sharding, n_devices, *arrays):
+    """Prepare [B, ...] kernel inputs for a batch-sharded mesh: zero-pad the
+    leading axis to a multiple of ``n_devices`` and place each array with
+    the batch NamedSharding, so jit compiles the kernel SPMD with reads
+    split across devices (padded lanes carry zero lengths and are dropped
+    by the caller). With no sharding this is a pass-through."""
+    if sharding is None or n_devices <= 1:
+        return [jnp.asarray(a) for a in arrays]
+    n = arrays[0].shape[0]
+    pad = (-n) % n_devices
+    placed = []
+    for a in arrays:
+        if pad:
+            a = np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        placed.append(jax.device_put(jnp.asarray(a), sharding))
+    return placed
+
+
 class ShardedEngine:
     """Data-parallel wrapper around a DeviceEngine for an N-device mesh."""
 
@@ -32,19 +50,35 @@ class ShardedEngine:
         # pjit) so the per-device program is explicit: reads split along
         # 'batch', weights replicated as closure constants, and fused
         # Pallas kernels stay legal inside the sharded region.
+        self._jit = jax.jit(self._shard_mapped(
+            engine._stage1_packed_impl, nargs=2))
+
+        # token-packed transport, sharded: every device gets its own flat
+        # frame stream (reads round-robined across devices), stacked on a
+        # leading device axis that shard_map splits. Rows stay implicitly
+        # addressed: read k of a dispatch lives at device k % D, row k // D.
+        D = self.n_devices
+        self.rows_per_dev = -(-engine.batch_rows // D)
+        min_dev = engine.wire_frames + 1
+        self.flat_sizes_dev = sorted(
+            {max(min_dev, -(-s // D)) for s in engine.flat_sizes})
+
+        def flat_per_device(flat, meta, qparams):
+            out = engine._stage1_flat_impl(flat[0], meta[0], qparams[0])
+            return out[None]
+
+        self._jit_flat = jax.jit(self._shard_mapped(flat_per_device,
+                                                    nargs=3))
+
+    def _shard_mapped(self, fn, nargs):
+        specs = (P(BATCH_AXIS),) * nargs
         shard_map = getattr(jax, 'shard_map', None)
         if shard_map is not None:
-            smapped = shard_map(
-                engine._stage1_packed_impl, mesh=self.mesh,
-                in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
-                out_specs=P(BATCH_AXIS), check_vma=False)
-        else:
-            from jax.experimental.shard_map import shard_map as shard_map_exp
-            smapped = shard_map_exp(
-                engine._stage1_packed_impl, mesh=self.mesh,
-                in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
-                out_specs=P(BATCH_AXIS), check_rep=False)
-        self._jit = jax.jit(smapped)
+            return shard_map(fn, mesh=self.mesh, in_specs=specs,
+                             out_specs=P(BATCH_AXIS), check_vma=False)
+        from jax.experimental.shard_map import shard_map as shard_map_exp
+        return shard_map_exp(fn, mesh=self.mesh, in_specs=specs,
+                             out_specs=P(BATCH_AXIS), check_rep=False)
 
     def dispatch_stage1(self, packed):
         """Non-blocking sharded dispatch of a pack_stage1 payload: pads the
@@ -74,3 +108,64 @@ class ShardedEngine:
         packed = self.engine.pack_stage1(pooled, pooled_len, head_len,
                                          head_valid)
         return self.collect_stage1(self.dispatch_stage1(packed))
+
+    # ------------------------------------------------------------------
+    # Token-packed flat transport (sharded): drop-in for DeviceEngine's
+    # pack_stage1_flat / dispatch_stage1_flat / collect_stage1 triple, so
+    # BatchAnalyzer drives a mesh the same way it drives one chip.
+
+    def pack_stage1_flat(self, reads):
+        """reads: list of (pooled_f32_1d, pooled_len, head_len). Assigns
+        read k to device k % D and packs each device's frames into its own
+        flat stream. Returns (wire, n_packed); assignment is strict
+        round-robin, so packing stops at the first read that no longer
+        fits its home device (keeping the k <-> (device, row) addressing
+        implicit)."""
+        eng = self.engine
+        D, R = self.n_devices, self.rows_per_dev
+        cap = self.flat_sizes_dev[-1]
+        meta = np.zeros((D, R, 4), np.int32)
+        used = np.zeros(D, np.int64)
+        chunks = [[] for _ in range(D)]
+        n = 0
+        for pooled, plen, hlen in reads[:D * R]:
+            d = n % D
+            stored = min(len(pooled), eng.wire_frames)
+            if used[d] + stored > cap:
+                break
+            meta[d, n // D] = (used[d], min(plen, stored),
+                               min(hlen, stored), 1)
+            chunks[d].append(pooled[:stored])
+            used[d] += stored
+            n += 1
+        size = next(s for s in self.flat_sizes_dev if s >= used.max())
+
+        dtype, qmax = ((np.uint8, 254) if eng.wire_fast
+                       else (np.uint16, 65535))
+        flat = np.zeros((D, size), dtype)
+        qparams = np.zeros((D, R, 2), np.float32)
+        qparams[:, :, 1] = 1.0
+        for d in range(D):
+            off = 0
+            for r, chunk in enumerate(chunks[d]):
+                q, lo, step = eng._quantize_affine(chunk, qmax)
+                qparams[d, r] = (lo, step)
+                flat[d, off:off + len(chunk)] = q.astype(dtype)
+                off += len(chunk)
+        return (flat, meta, qparams), n
+
+    def dispatch_stage1_flat(self, wire):
+        flat, meta, qparams = wire
+        import jax.numpy as jnp
+        args = (jax.device_put(jnp.asarray(flat), self._sharding),
+                jax.device_put(jnp.asarray(meta), self._sharding),
+                jax.device_put(jnp.asarray(qparams), self._sharding))
+        with self.mesh:
+            return self._jit_flat(*args)
+
+    def collect_stage1_flat(self, handle):
+        """Await a dispatch_stage1_flat handle and restore read order:
+        output row (d, r) is read r * D + d."""
+        arr = np.asarray(handle)                       # [D, R, C]
+        rows = arr.transpose(1, 0, 2).reshape(-1, arr.shape[2])
+        return self.engine._unpack_stage1(rows)

@@ -43,6 +43,25 @@ class BatchAnalyzer:
         self.inputdir = config['inputdir']
         self.stride = config['signal_processing']['rough_signal_stride']
         self.engine = DeviceEngine(config)
+
+        # production multi-chip: reads are data-parallel over every local
+        # device of the preferred platform (SURVEY.md §2.3); stage-1
+        # dispatches route through a batch-sharded mesh whenever more than
+        # one chip is addressable, with the same wire format and numerics.
+        from ..parallel.mesh import make_mesh, select_devices, batch_sharding
+        devices = select_devices(config)
+        if len(devices) > 1:
+            from ..parallel.sharding import ShardedEngine
+            self.mesh = make_mesh(devices)
+            self.stage1 = ShardedEngine(self.engine, self.mesh)
+            self.kernel_sharding = batch_sharding(self.mesh)
+            self.kernel_devices = len(devices)
+        else:
+            self.mesh = None
+            self.stage1 = self.engine
+            self.kernel_sharding = None
+            self.kernel_devices = 1
+
         if self.engine.scaler.input_stride != self.stride:
             # on-device head reconstruction (engine._derive_heads) needs the
             # scaler head and the segmentation body to share one pooling
@@ -55,10 +74,15 @@ class BatchAnalyzer:
         self.kmermodel = kmermodel
         self.kmersize = len(kmermodel.index[0])
 
-        self.polya_analyzer = (PolyaAnalyzer(config['polya_dwell'])
-                               if config['measure_polya'] else None)
+        self.polya_analyzer = (
+            PolyaAnalyzer(config['polya_dwell'],
+                          sharding=self.kernel_sharding,
+                          n_devices=self.kernel_devices)
+            if config['measure_polya'] else None)
         self.unsplit_detector = (
-            UnsplitReadDetector(config, self.engine.unsplitmodel)
+            UnsplitReadDetector(config, self.engine.unsplitmodel,
+                                sharding=self.kernel_sharding,
+                                n_devices=self.kernel_devices)
             if config['filter_unsplit_reads'] else None)
 
         if config['albacore_onthefly']:
@@ -298,11 +322,11 @@ class BatchAnalyzer:
         handles = []
         counts = []
         while reads:
-            wire, n = self.engine.pack_stage1_flat(reads)
-            handles.append(self.engine.dispatch_stage1_flat(wire))
+            wire, n = self.stage1.pack_stage1_flat(reads)
+            handles.append(self.stage1.dispatch_stage1_flat(wire))
             counts.append(n)
             reads = reads[n:]
-        chunks = [self.engine.collect_stage1(h)
+        chunks = [self.stage1.collect_stage1_flat(h)
                   for h in handles]
         n = len(records)
         return {k: np.concatenate([c[k][:cnt] for c, cnt in

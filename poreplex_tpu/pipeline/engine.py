@@ -389,6 +389,12 @@ class DeviceEngine:
         return self._stage1_flat(jnp.asarray(flat), jnp.asarray(meta),
                                  jnp.asarray(qparams))
 
+    # flat handles unpack the same way as padded ones on a single device;
+    # the alias keeps the dispatch/collect interface uniform with
+    # parallel.sharding.ShardedEngine.
+    def collect_stage1_flat(self, handle):
+        return self.collect_stage1(handle)
+
     def run_stage1_flat(self, reads):
         """Convenience wrapper: packs + runs as many of ``reads`` as fit;
         returns (outputs dict, n_packed)."""

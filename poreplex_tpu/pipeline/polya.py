@@ -52,9 +52,13 @@ class PolyaAnalyzer:
         'maximum_openend_extension', 'median_pre_filter',
     ]
 
-    def __init__(self, config):
+    def __init__(self, config, sharding=None, n_devices=1):
         for name in self.CONFIG_SLOTS:
             setattr(self, name, config[name])
+        # batch-sharded kernel placement on a multi-chip mesh (pass-through
+        # single-device otherwise); see parallel.sharding.shard_batch_arrays
+        self.sharding = sharding
+        self.n_devices = n_devices
 
         mean_loc, mean_scale = config['polya_mean_dist']
         self.polya_mean_cutoff = (
@@ -103,14 +107,17 @@ class PolyaAnalyzer:
         by_bucket = {}
         for t in tasks:
             by_bucket.setdefault(_bucket_len(len(t.signal)), []).append(t)
+        from ..parallel.sharding import shard_batch_arrays
         for blen, group in sorted(by_bucket.items()):
             x = np.zeros((len(group), blen), np.float32)
             lens = np.zeros(len(group), np.int32)
             for i, t in enumerate(group):
                 x[i, :len(t.signal)] = t.signal
                 lens[i] = len(t.signal)
+            x, lens = shard_batch_arrays(self.sharding, self.n_devices,
+                                         x, lens)
             out = ed_ops.detect_events(
-                jnp.asarray(x), jnp.asarray(lens),
+                x, lens,
                 window_length1=ed['window_length1'],
                 window_length2=ed['window_length2'],
                 threshold1=float(ed['threshold1']),
@@ -148,8 +155,11 @@ class PolyaAnalyzer:
             ip[i, :k] = t.is_polya
             ln[i, :k] = t.events['length']
             n[i] = k
+        from ..parallel.sharding import shard_batch_arrays
+        ip, ln, n = shard_batch_arrays(self.sharding, self.n_devices,
+                                       ip, ln, n)
         s, e, v = dp_ops.find_best_polya_interval(
-            jnp.asarray(ip), jnp.asarray(ln), jnp.asarray(n),
+            ip, ln, n,
             spike_weight=float(self.spike_weight),
             spike_tolerance=int(self.spike_tolerance))
         s, e, v = np.asarray(s), np.asarray(e), np.asarray(v)

@@ -59,6 +59,16 @@ class ProcessingSession:
         self.config = config
         self.logger = logger
 
+        # multi-host: this session owns a deterministic slice of the read
+        # entries; final counts are reduced across hosts at the end
+        # (SURVEY.md §5.8; jax.distributed must be initialized by the CLI
+        # before the session starts)
+        from ..parallel import distributed
+        self.dist_rank, self.dist_size = distributed.process_info()
+        if self.dist_size > 1:
+            logger.info('Distributed session: host %d of %d',
+                        self.dist_rank, self.dist_size)
+
         self.executor_compute = ThreadPoolExecutor(1)
         self.executor_io = ThreadPoolExecutor(config.get('io_threads', 2))
         # ingest threads: the poreplex `-p/--parallel` knob
@@ -289,27 +299,35 @@ class ProcessingSession:
 
     # ------------------------------------------------------------------
     def queue_processing(self, readpath):
-        self.jobstack.append(readpath)
-        self.reads_queued += 1
+        """Admit one (filename, read_id) entry into the pending batch. On a
+        multi-host run only the entries this host owns (stable hash slice)
+        are admitted; a full pending batch submits immediately."""
+        from ..parallel import distributed
+        if not distributed.owns_entry(readpath, self.dist_rank,
+                                      self.dist_size):
+            return
         self.reads_found += 1
+        self.reads_queued += 1
+        self.jobstack.append(readpath)
         if len(self.jobstack) >= self.config['batch_chunk_size']:
             self.flush_jobstack()
 
     def flush_jobstack(self):
-        if self.running and self.jobstack:
+        """Submit whatever is pending as one batch task. Entries that
+        finished since they were queued (live-mode refeeds) are dropped
+        here, with the found/queued counters rolled back."""
+        if not (self.running and self.jobstack):
+            return
+        pending, self.jobstack = self.jobstack, []
+        fresh = [entry for entry in pending if entry not in self.reads_done]
+        already_done = len(pending) - len(fresh)
+        if already_done:
+            self.reads_queued -= already_done
+            self.reads_found -= already_done
+        if fresh:
             batch_id = self.next_batch_id
             self.next_batch_id += 1
-            reads_to_submit = [
-                readpath for readpath in self.jobstack
-                if readpath not in self.reads_done]
-            num_canceled = len(self.jobstack) - len(reads_to_submit)
-            if num_canceled:
-                self.reads_queued -= num_canceled
-                self.reads_found -= num_canceled
-            del self.jobstack[:]
-            if reads_to_submit:
-                self.loop.create_task(
-                    self.run_process_batch(batch_id, reads_to_submit))
+            self.loop.create_task(self.run_process_batch(batch_id, fresh))
 
     async def scan_dir_recursive(self, topdir, dirname=''):
         if not self.running:
@@ -432,24 +450,25 @@ class ProcessingSession:
                 break
 
     async def force_flushing_stalled_queue(self):
-        """(poreplex/pipeline.py:451-472)"""
-        prev_count = -1
-        heartbeat = max(10, int(self.config['analysis_start_delay'] // 2))
-        stall_counter = 0
-        stall_trigger = 2
+        """Live-mode watchdog (role of poreplex/pipeline.py:451-472): when
+        no new reads have been discovered for two consecutive heartbeats
+        while entries sit below the batch threshold, submit them anyway so
+        a paused sequencer does not strand a partial batch."""
+        heartbeat = max(10, int(self.config['analysis_start_delay']) // 2)
+        last_found = -1
+        quiet_beats = 0
         while self.running:
             try:
                 await asyncio.sleep(heartbeat)
             except CancelledError:
                 break
-            if self.reads_found != prev_count:
-                stall_counter = 0
-                prev_count = self.reads_found
-                continue
-            if self.reads_queued > 0:
-                stall_counter += 1
-                if stall_counter >= stall_trigger:
-                    stall_counter = 0
+            if self.reads_found != last_found:
+                last_found = self.reads_found
+                quiet_beats = 0
+            elif self.reads_queued > 0:
+                quiet_beats += 1
+                if quiet_beats >= 2:
+                    quiet_beats = 0
                     self.flush_jobstack()
 
     async def show_progresses_offline(self):
@@ -592,6 +611,22 @@ class ProcessingSession:
             if sess.scan_finished and \
                     sess.reads_found == sess.reads_processed:
                 sess.finalize_results()
+                if sess.dist_size > 1:
+                    # collective: every host must reach this point (the
+                    # failure mode of a host dying earlier is fail-fast at
+                    # the jax.distributed layer); host 0 prints the merged
+                    # count matrix, others stay quiet
+                    from collections import defaultdict as _dd
+                    from ..parallel import distributed
+                    logger.info('Merging final counts across %d hosts',
+                                sess.dist_size)
+                    merged = distributed.merge_final_counts(
+                        sess.finalsummary_tracker)
+                    sess.finalsummary_tracker.counts = _dd(int, merged)
+                    if sess.dist_rank != 0:
+                        sess.show_message('==> Finished (host {}).'.format(
+                            sess.dist_rank))
+                        return None
                 sess.show_message('==> Finished.')
                 return sess.finalsummary_tracker.print_results
             elif sess.scan_finished:

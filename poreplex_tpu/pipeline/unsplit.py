@@ -15,9 +15,12 @@ from ..utils.intervals import union_intervals
 
 class UnsplitReadDetector:
 
-    def __init__(self, config, unsplit_model):
+    def __init__(self, config, unsplit_model, sharding=None, n_devices=1):
         self.config = config['unsplit_read_detection']
         self.model = unsplit_model
+        # batch-sharded Viterbi placement on a multi-chip mesh
+        self.sharding = sharding
+        self.n_devices = n_devices
         names = unsplit_model.state_names
         self.leaderish = {unsplit_model.state_index[n]
                           for n in ('adapter', 'leader-high', 'leader-low')
@@ -68,7 +71,9 @@ class UnsplitReadDetector:
             vals = read.events['scaled_mean'].to_numpy()[sel]
             x[i, :len(sel)] = vals
             lens[i] = len(sel)
-        path, logp, first, last, present = self.model.decode(x, lens)
+        from ..parallel.sharding import shard_batch_arrays
+        xs, ls = shard_batch_arrays(self.sharding, self.n_devices, x, lens)
+        path, logp, first, last, present = self.model.decode(xs, ls)
         return [path[i, :lens[i]] for i in range(B)]
 
     # ------------------------------------------------------------------
