@@ -189,7 +189,9 @@ def event_stats(boundaries, n_bounds, center, cs, css, lengths):
     """Build events from peak boundaries (event_detection.c:238-271):
     events [0,b0), [b0,b1), ..., [b_last, L). Means/stdvs from the centered
     cumsums; returns start [B,P+1] i32, length/mean/stdv [B,P+1] f32 and
-    n_events [B] (= n_bounds + 1)."""
+    n_events [B] (= n_bounds + 1). Zero-peak lanes reproduce the C's
+    degenerate single event [0, peaks[0]=0): length 0, mean 0/0 = NaN,
+    stdv fmaxf(NaN, 0) = 0 (event_detection.c:246-261)."""
     batch, max_peaks = boundaries.shape
     L = lengths[:, None]
     starts = jnp.concatenate(
@@ -214,6 +216,11 @@ def event_stats(boundaries, n_bounds, center, cs, css, lengths):
     var = (e_css - s_css) / length - mean_c * mean_c
     stdv = jnp.sqrt(jnp.maximum(var, 0.0))
     mean = mean_c + center
+
+    degenerate = (n_bounds == 0)[:, None] & (ev_idx == 0)
+    length = jnp.where(degenerate, 0.0, length)
+    mean = jnp.where(degenerate, jnp.nan, mean)
+    stdv = jnp.where(degenerate, 0.0, stdv)
     return starts, length, mean, stdv, n_events
 
 

@@ -13,11 +13,13 @@ FLT_MAX = np.float32(np.finfo(np.float32).max)
 
 
 def compute_sum_sumsq(data):
-    d = np.asarray(data, np.float64)
-    sums = np.zeros(len(d) + 1)
-    sumsqs = np.zeros(len(d) + 1)
-    np.cumsum(d, out=sums[1:])
-    np.cumsum(d * d, out=sumsqs[1:])
+    d32 = np.asarray(data, np.float32)
+    sums = np.zeros(len(d32) + 1)
+    sumsqs = np.zeros(len(d32) + 1)
+    np.cumsum(d32.astype(np.float64), out=sums[1:])
+    # the C accumulates f64 but squares in f32 (`data[i] * data[i]` is a
+    # single-precision product, event_detection.c:47) — replicate exactly
+    np.cumsum((d32 * d32).astype(np.float64), out=sumsqs[1:])
     return sums, sumsqs
 
 
@@ -94,8 +96,14 @@ def short_long_peak_detector(tstat1, tstat2, thr1, thr2, wl1, wl2,
 
 def create_events(peaks, sums, sumsqs, nsample):
     """Boundaries semantics of event_detection.c:238-271 — peak list entries
-    in (0, nsample) delimit events [0,p0), [p0,p1), ..., [p_last, nsample)."""
+    in (0, nsample) delimit events [0,p0), [p0,p1), ..., [p_last, nsample).
+    With NO detected peaks the C emits a single degenerate event
+    [0, peaks[0]=0): length 0, mean 0/0 = NaN, stdv fmaxf(NaN,0) = 0."""
     usable = [p for p in peaks if 0 < p < nsample]
+    if not usable:
+        return np.array([(0, 0.0, np.nan, 0.0)],
+                        dtype=[('start', np.int64), ('length', np.float32),
+                               ('mean', np.float32), ('stdv', np.float32)])
     bounds = [0] + usable + [nsample]
     events = []
     for start, end in zip(bounds[:-1], bounds[1:]):
@@ -103,7 +111,9 @@ def create_events(peaks, sums, sumsqs, nsample):
         mean = np.float32(sums[end] - sums[start]) / length
         deltasqr = np.float32(sumsqs[end] - sumsqs[start])
         var = deltasqr / length - mean * mean
-        events.append((start, length, mean, np.sqrt(max(var, 0.0))))
+        # stay in f32 end-to-end: the C uses sqrtf(fmaxf(var, 0))
+        events.append((start, length, mean,
+                       np.sqrt(np.maximum(var, np.float32(0.0)))))
     return np.array(events, dtype=[('start', np.int64),
                                    ('length', np.float32),
                                    ('mean', np.float32),

@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstddef>
 #include <cstdint>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -35,7 +36,10 @@ void prefix_sums(const float* data, std::size_t n, std::vector<double>* sum,
   sumsq->assign(n + 1, 0.0);
   for (std::size_t i = 0; i < n; ++i) {
     (*sum)[i + 1] = (*sum)[i] + data[i];
-    (*sumsq)[i + 1] = (*sumsq)[i] + static_cast<double>(data[i]) * data[i];
+    // square in single precision before accumulating: the poreplex-vendored
+    // scrappie kernel's `data[i] * data[i]` is a float product
+    // (event_detection.c:47), and the short-event stdv is sensitive to it
+    (*sumsq)[i + 1] = (*sumsq)[i] + data[i] * data[i];
   }
 }
 
@@ -142,6 +146,16 @@ int64_t pptpu_detect_events(const float* signal, int64_t n,
   bounds.push_back(0);
   for (std::size_t p : peaks)
     if (p > 0 && p < static_cast<std::size_t>(n)) bounds.push_back(p);
+  if (bounds.size() == 1) {
+    // zero peaks: the vendored scrappie kernel emits one degenerate event
+    // [0, 0) — length 0, mean 0/0 = NaN, stdv fmaxf(NaN, 0) = 0
+    // (event_detection.c:246-261)
+    ev_start[0] = 0;
+    ev_length[0] = 0.0f;
+    ev_mean[0] = std::numeric_limits<float>::quiet_NaN();
+    ev_stdv[0] = 0.0f;
+    return 1;
+  }
   bounds.push_back(n);
 
   int64_t count = 0;

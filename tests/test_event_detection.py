@@ -65,14 +65,22 @@ def test_tpu_kernel_vs_native_batched():
             np.asarray(out['length'][i][:n]), ev_cpp['length'])
 
 
-def test_short_signal_single_event():
-    """Signals shorter than 2*w produce zero t-stats -> one event."""
+def test_short_signal_degenerate_event():
+    """Signals shorter than 2*w produce zero t-stats -> no peaks -> the
+    reference C emits ONE degenerate event [0, 0): length 0, NaN mean,
+    stdv 0 (event_detection.c:246-261). All implementations replicate."""
     sig = np.full(30, 90.0, np.float32)
     ev = ref_ed.detect_events(sig, **PARAMS)
     assert len(ev) == 1
+    assert ev['length'][0] == 0.0 and np.isnan(ev['mean'][0])
+    assert ev['stdv'][0] == 0.0
+    ev_cpp = native.detect_events(sig, **PARAMS)
+    assert len(ev_cpp) == 1 and ev_cpp['length'][0] == 0.0
+    assert np.isnan(ev_cpp['mean'][0])
     out = ed.detect_events(jnp.asarray(sig[None]), jnp.asarray([30]), **PARAMS)
     assert int(out['n_events'][0]) == 1
-    assert float(out['length'][0][0]) == 30.0
+    assert float(out['length'][0][0]) == 0.0
+    assert np.isnan(float(out['mean'][0][0]))
 
 
 def test_padding_invariance():
