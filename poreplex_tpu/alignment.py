@@ -15,6 +15,12 @@ from .utils import ensure_dir_exists
 
 MM_IDX_MAGIC = b'MMI\2'
 
+# SAM FLAG bits (SAM spec v1; fixed values, identical to pysam's F* consts)
+SAM_FUNMAP = 4
+SAM_FREVERSE = 16
+SAM_FSECONDARY = 256
+SAM_FSUPPLEMENTARY = 2048
+
 
 def check_minimap2_index(filename):
     """(poreplex/alignment_writer.py:34-38)"""
@@ -23,27 +29,32 @@ def check_minimap2_index(filename):
             raise Exception('File magic is not found from ' + filename)
 
 
+def _read_exact(stream, nbytes, filename):
+    data = stream.read(nbytes)
+    if len(data) != nbytes:
+        raise Exception('Unexpected end of file during reading a '
+                        'header: ' + filename)
+    return data
+
+
 def get_indexed_sequence_list(indexfile):
-    """Parse SQ names/lengths straight out of the minimap2 .mmi binary
-    header (poreplex/alignment_writer.py:90-113)."""
-    seqlist = []
-    with open(indexfile, 'rb') as idxf:
-        if idxf.read(4) != MM_IDX_MAGIC:
+    """Recover the SQ lines (name, length) and the indexing options from a
+    raw minimap2 ``.mmi`` binary (role of
+    poreplex/alignment_writer.py:90-113; format: 4-byte magic ``MMI\\2``,
+    five LE u32 header words [w, k, bucket bits, n_seq, flags], then per
+    sequence a u8 name length, the name bytes, and a LE u32 length)."""
+    with open(indexfile, 'rb') as stream:
+        if stream.read(4) != MM_IDX_MAGIC:
             raise Exception('File magic is not found from ' + indexfile)
-        header_format = '<IIIII'
-        header = idxf.read(calcsize(header_format))
-        if len(header) != calcsize(header_format):
-            raise Exception('Unexpected end of file during reading a '
-                            'header: ' + indexfile)
-        w, k, b, n_seq, flag = unpack(header_format, header)
-        index_options = 'minimap2 -w {} -k {}'.format(w, k)
+        window, kmer, _bits, n_seq, _flags = unpack(
+            '<IIIII', _read_exact(stream, calcsize('<IIIII'), indexfile))
+        sequences = []
         for _ in range(n_seq):
-            namlen = idxf.read(1)[0]
-            name_seqlen = idxf.read(namlen + 4)
-            name = name_seqlen[:-4].decode()
-            seqlen = unpack('<I', name_seqlen[-4:])[0]
-            seqlist.append({'LN': seqlen, 'SN': name})
-    return seqlist, index_options
+            name_len = _read_exact(stream, 1, indexfile)[0]
+            name = _read_exact(stream, name_len, indexfile).decode()
+            length, = unpack('<I', _read_exact(stream, 4, indexfile))
+            sequences.append({'SN': name, 'LN': length})
+    return sequences, 'minimap2 -w {} -k {}'.format(window, kmer)
 
 
 class BAMWriter:
@@ -94,68 +105,78 @@ class AlignmentWriter:
             writer.close()
         self.writers.clear()
 
-    def map(self, name, seq, qual):
-        from pysam import FUNMAP, FREVERSE, FSECONDARY, FSUPPLEMENTARY
-        mappy = self._mappy
+    def _hit_flag(self, hit, rank):
+        """SAM FLAG for one mappy hit: the first reported hit is either the
+        primary alignment (0) or, when mappy demoted it, supplementary;
+        every later hit is secondary; reverse-strand adds FREVERSE in
+        _hit_row."""
+        if rank > 0:
+            return SAM_FSECONDARY
+        if not hit.is_primary:
+            return SAM_FSUPPLEMENTARY
+        return 0
+
+    def _hit_row(self, hit, rank, name, seq, qual):
+        """One SAM row for one mappy hit: soft-clip the unaligned query
+        ends, flip to reference orientation on minus-strand hits (clips
+        swap sides with the sequence), 1-based position, NM tag."""
+        flag = self._hit_flag(hit, rank)
+        clips = ['{}S'.format(hit.q_st) if hit.q_st > 0 else '',
+                 '{}S'.format(len(seq) - hit.q_en)
+                 if hit.q_en < len(seq) else '']
+        if hit.strand <= 0:
+            flag |= SAM_FREVERSE
+            seq = self._mappy.revcomp(seq)
+            qual = qual[::-1]
+            clips.reverse()
+        cigar = clips[0] + hit.cigar_str + clips[1]
+        return (name, flag, hit.ctg, hit.r_st + 1, hit.mapq, cigar,
+                '*', 0, 0, seq, qual, 'NM:i:{}'.format(hit.NM))
+
+    def sam_records(self, name, seq, qual):
+        """All SAM rows for one read (DNA-alphabet query); a read with no
+        hits yields the single unmapped record."""
         seq = seq.replace('U', 'T')
-        seqmaps = list(self.aligner.map(seq))
-        if not seqmaps:
-            yield (name, int(FUNMAP), '*', 0, 0, '*', '*', 0, 0, seq, qual)
-            return
+        hits = list(self.aligner.map(seq))
+        if not hits:
+            return [(name, SAM_FUNMAP, '*', 0, 0, '*', '*', 0, 0, seq,
+                     qual)]
+        return [self._hit_row(hit, rank, name, seq, qual)
+                for rank, hit in enumerate(hits)]
 
-        for i, h in enumerate(seqmaps):
-            if i > 0:
-                flag = int(FSECONDARY)
-            elif not h.is_primary:
-                flag = int(FSUPPLEMENTARY)
-            else:
-                flag = 0
-
-            leftclip = '{}S'.format(h.q_st) if h.q_st > 0 else ''
-            rightclip = ('{}S'.format(len(seq) - h.q_en)
-                         if h.q_en < len(seq) else '')
-
-            if h.strand > 0:
-                seq_f, qual_f = seq, qual
-            else:
-                seq_f = mappy.revcomp(seq)
-                qual_f = qual[::-1]
-                leftclip, rightclip = rightclip, leftclip
-                flag |= FREVERSE
-
-            fullcigar = leftclip + h.cigar_str + rightclip
-            yield (name, flag, h.ctg, h.r_st + 1, h.mapq, fullcigar, '*',
-                   0, 0, seq_f, qual_f, 'NM:i:{}'.format(h.NM))
+    # name kept for callers expecting the reference's interface
+    map = sam_records
 
     def map_and_write(self, streamid, name, seq, qual, adapter_length):
-        writer = self.writers[streamid]
-        mapped_seqname = None
+        """Align one read and emit its rows into the stream's BAM. Returns
+        the contig of the first row ('*' when unmapped), shortened at the
+        first '|' for display (dashboard contig panel)."""
         if adapter_length > 0:
-            seq = seq[:-adapter_length]
-            qual = qual[:-adapter_length]
-        for row in self.map(name, seq, qual):
-            if mapped_seqname is None:
-                mapped_seqname = row[2]
+            seq, qual = seq[:-adapter_length], qual[:-adapter_length]
+        rows = self.sam_records(name, seq, qual)
+        writer = self.writers[streamid]
+        for row in rows:
             writer.write(row)
-        if mapped_seqname is not None and not mapped_seqname.startswith('|'):
-            mapped_seqname = mapped_seqname.split('|')[0]
-        return mapped_seqname
+        contig = rows[0][2]
+        if not contig.startswith('|'):
+            contig = contig.split('|')[0]
+        return contig
 
     def process(self, results):
-        mapped_seqs = defaultdict(list)
-        failed_counts = defaultdict(int)
-        unmapped_counts = defaultdict(int)
+        """Map a batch of report dicts; returns per-barcode mapped contig
+        lists + failed/unmapped tallies for the dashboard."""
+        outcome = {'mapped': defaultdict(list), 'failed': defaultdict(int),
+                   'unmapped': defaultdict(int)}
         for result in results:
             barcode = result.get('barcode')
-            streamid = result.get('label', 'fail'), barcode
             if result.get('sequence') is None or 'read_id' not in result:
-                failed_counts[barcode] += 1
+                outcome['failed'][barcode] += 1
+                continue
+            streamid = result.get('label', 'fail'), barcode
+            contig = self.map_and_write(streamid, result['read_id'],
+                                        *result['sequence'])
+            if contig == '*':
+                outcome['unmapped'][barcode] += 1
             else:
-                mapped = self.map_and_write(streamid, result['read_id'],
-                                            *result['sequence'])
-                if mapped == '*':
-                    unmapped_counts[barcode] += 1
-                else:
-                    mapped_seqs[barcode].append(mapped)
-        return {'mapped': mapped_seqs, 'failed': failed_counts,
-                'unmapped': unmapped_counts}
+                outcome['mapped'][barcode].append(contig)
+        return outcome

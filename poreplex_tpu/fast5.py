@@ -14,7 +14,6 @@ the reference reader (poreplex/fast5_file.py):
 """
 
 import os.path
-from functools import lru_cache
 
 import h5py
 import numpy as np
@@ -171,55 +170,65 @@ class Fast5Reader:
         raise Exception('Unsupported event table found.')
 
     def _events_from_moves(self, analyses, summary):
-        """Rebuild a minimal event table from a guppy Move table with the
-        flip-flop 1-mer -> 5-mer reframing (poreplex/fast5_file.py:183-208)."""
+        """Rebuild a minimal event table from a guppy Move table, with the
+        flip-flop 1-mer -> 5-mer reframing (role of
+        poreplex/fast5_file.py:183-208) done as one vectorized window
+        gather over the 3'->5' sequence instead of per-row string slicing.
+
+        The move sum tells the model's kmer size apart: classic RNN models
+        emit (seqlen - 4) 5-mers (center base at +2), flip-flop models emit
+        one base per move, so the window is completed by padding both ends
+        with ``__``."""
         moves = analyses['BaseCalled_template/Move'][()]
-        pos = moves.cumsum() - 1
+        pos = (moves.cumsum() - 1).astype(np.int64)
         kmer_size = len(summary['sequence']) - int(moves.sum()) + 1
         revseq = summary['sequence'][::-1].replace('U', 'T')
-        qual = 1 - 10 ** -(
-            (np.frombuffer(summary['qstring'].encode(), 'B') - 33) / 10)
 
-        if kmer_size == 5:       # older guppy RNN models
-            posshift = 2
-        elif kmer_size == 1:     # flip-flop models emit single bases
+        if kmer_size == 5:
+            center_offset = 2
+        elif kmer_size == 1:
             revseq = '__' + revseq + '__'
-            posshift = 0
+            center_offset = 0
         else:
             raise Exception('Move table is encoded with an unknown kmer-size.')
 
-        kmers = lru_cache(3)(lambda p: revseq[int(p):int(p) + 5])
-        quals = lru_cache(3)(lambda p: qual[int(p) + posshift])
+        seqbuf = np.frombuffer(revseq.encode(), dtype='S1')
+        window = pos[:, None] + np.arange(5)
+        kmers = (seqbuf[np.minimum(window, len(seqbuf) - 1)]
+                 .view('S5').ravel().astype('U5'))
+
+        base_qual = 1.0 - np.power(
+            10.0, -(np.frombuffer(summary['qstring'].encode(), 'B') - 33) / 10)
 
         return pd.DataFrame({
-            'model_state': np.vectorize(kmers)(pos),
-            'p_model_state': np.vectorize(quals)(pos),
+            'model_state': kmers,
+            'p_model_state': base_qual[pos + center_offset],
             'move': moves,
         })
 
     def _reconstruct_guppy_events(self, events, summary):
-        """Derive per-event start/mean/stdv/length from raw signal blocks
-        (poreplex/fast5_file.py:210-230)."""
-        first_sample = summary['first_sample_template']
-        block_stride = summary['block_stride']
-        last_sample = first_sample + block_stride * len(events)
+        """Derive per-event start/mean/stdv/length from fixed-stride raw
+        signal blocks (role of poreplex/fast5_file.py:210-230): one block
+        of ``block_stride`` samples per move-table row, statistics taken
+        after the median prefilter; a truncated final block is completed
+        with NaN so its statistics flag the truncation."""
+        stride = summary['block_stride']
+        first = summary['first_sample_template']
+        nblocks = len(events)
 
-        events['start'] = np.arange(first_sample, last_sample, block_stride)
-
-        rawdata = self.get_raw_data(first_sample, last_sample)
-        rawdata = medfilt(rawdata, self.RAWSIGNAL_PREFILTER_SIZE)
-        if len(rawdata) % block_stride > 0:
-            rawdata = np.pad(rawdata,
-                             [0, block_stride - len(rawdata) % block_stride],
-                             'constant', constant_values=np.nan)
-        if len(rawdata) // block_stride != len(events):
+        filtered = medfilt(self.get_raw_data(first, first + stride * nblocks),
+                           self.RAWSIGNAL_PREFILTER_SIZE)
+        if -(-len(filtered) // stride) != nblocks:
             raise Exception(
                 'Numbers of events and raw data strides does not match.')
+        blocks = np.full(nblocks * stride, np.nan)
+        blocks[:len(filtered)] = filtered
+        blocks = blocks.reshape(nblocks, stride)
 
-        by_block = rawdata.reshape([len(events), block_stride])
-        events['mean'] = by_block.mean(axis=1)
-        events['stdv'] = by_block.std(axis=1)
-        events['length'] = block_stride
+        events['start'] = first + stride * np.arange(nblocks)
+        events['mean'] = blocks.mean(axis=1)
+        events['stdv'] = blocks.std(axis=1)
+        events['length'] = stride
         return events
 
     def copyto(self, dstfile):

@@ -8,12 +8,10 @@ import os
 from collections import defaultdict
 from functools import partial
 from glob import glob
-from itertools import count
 from threading import Lock
 
 import h5py
 import numpy as np
-import pandas as pd
 
 from .. import OUTPUT_NAME_FAILED
 from ..utils import ensure_dir_exists
@@ -56,34 +54,52 @@ class FASTQWriter:
                     self.streams[output_name].write(formatted)
 
 
+class _RotatingFast5Series:
+    """One (label, barcode) output stream of multi-read FAST5 files: a new
+    ``<name>_<k>.fast5`` is opened lazily and rolled over every
+    ``reads_per_file`` reads (role of the rotation in poreplex/io.py:98-105,
+    expressed as explicit state instead of a generator)."""
+
+    def __init__(self, path_template, reads_per_file):
+        self.path_template = path_template
+        self.reads_per_file = reads_per_file
+        self.handle = None
+        self.fileno = 0
+        self.reads_in_file = 0
+
+    def current(self):
+        if self.handle is None or self.reads_in_file >= self.reads_per_file:
+            self.close()
+            self.handle = h5py.File(self.path_template.format(self.fileno),
+                                    'w')
+            self.fileno += 1
+            self.reads_in_file = 0
+        self.reads_in_file += 1
+        return self.handle
+
+    def close(self):
+        if self.handle is not None:
+            self.handle.close()
+            self.handle = None
+
+
 class FAST5Writer:
-    """Multi-read FAST5 repacking with file rotation (poreplex/io.py:77-117)."""
+    """Multi-read FAST5 repacking, one rotating file series per output name
+    (role of poreplex/io.py:77-117)."""
 
     def __init__(self, output_dir, output_layout, input_dir, batch_size=4000):
         self.input_dir = input_dir
-        self.output_dir = output_dir
-        self.output_layout = output_layout
-        self.batch_size = batch_size
         self.lock = Lock()
-
-        self.f5files = {}
-        self.getf5hdl = {
-            int_name: self._rotated_handles(name)
-            for int_name, name in output_layout.items()}
+        self.series = {}
+        for int_name, name in output_layout.items():
+            template = os.path.join(output_dir, 'fast5',
+                                    name + '_{}.fast5')
+            ensure_dir_exists(template)
+            self.series[int_name] = _RotatingFast5Series(template, batch_size)
 
     def close(self):
-        for hdl in self.f5files.values():
-            hdl.close()
-
-    def _rotated_handles(self, name):
-        output_path = os.path.join(self.output_dir, 'fast5',
-                                   name + '_{}.fast5')
-        ensure_dir_exists(output_path)
-        for fileno in count():
-            self.f5files[name] = hdl = h5py.File(
-                output_path.format(fileno), 'w')
-            for _ in range(self.batch_size):
-                yield hdl
+        for series in self.series.values():
+            series.close()
 
     def transfer_reads(self, procresult):
         with self.lock:
@@ -92,16 +108,15 @@ class FAST5Writer:
                                entry.get('barcode'))
                 input_name = os.path.join(self.input_dir, entry['filename'])
                 try:
-                    f5rd = Fast5Reader(input_name, entry['read_id'])
+                    reader = Fast5Reader(input_name, entry['read_id'])
                 except Exception:
-                    continue
-                f5wt = next(self.getf5hdl[output_name])
+                    continue       # vanished/corrupt input: skip silently
                 try:
-                    f5rd.copyto(f5wt)
+                    reader.copyto(self.series[output_name].current())
                 except DuplicatedReadError:
                     pass
                 finally:
-                    f5rd.close()
+                    reader.close()
 
 
 class SequencingSummaryWriter:
@@ -262,57 +277,57 @@ class FinalSummaryTracker:
                         entry.get('barcode', None),
                         entry['status']] += 1
 
+    def _grouped_rows(self):
+        """Collapse the sparse count dict into one row per (label, status):
+        {barcode: count} cells plus the row's largest single cell, which
+        sets the within-label ordering (statuses with the biggest streams
+        print first, as in the reference's count-sorted table)."""
+        rows = {}
+        for (label, barcode, status), cnt in self.counts.items():
+            cells = rows.setdefault((label, status), {})
+            cells[barcode] = cells.get(barcode, 0) + cnt
+        order = sorted(rows,
+                       key=lambda key: (self.label_reporting_order.index(
+                           key[0]), -max(rows[key].values())))
+        return [(label, status, rows[label, status])
+                for label, status in order]
+
     def print_results(self, file):
         if hasattr(file, 'write'):
-            _ = partial(print, sep='\t', file=file)
+            emit = partial(print, sep='\t', file=file)
         else:
             logger = logging.getLogger('poreplex_tpu')
-            _ = lambda *args: logger.error(' '.join(map(str, args)))
+            emit = lambda *args: logger.error(' '.join(map(str, args)))
 
-        _('==== Result Summary ====')
+        emit('==== Result Summary ====')
         if not self.counts:
-            _('(no reads processed)')
+            emit('(no reads processed)')
             return
-        longest = len(format(max(self.counts.values()), 'd'))
-        width = max(self.MINIMUM_COLUMN_WIDTH, longest)
-        title_fmt = '{{:{}s}} '.format(width)
-        num_fmt = '{{:{}d}} '.format(width)
+        width = max(self.MINIMUM_COLUMN_WIDTH,
+                    len(str(max(self.counts.values()))))
+        cell = '{{:{}}} '.format(width)
 
         if len(self.barcode_names) > 1:
-            fields = [self.LABEL_FORMAT.format('')] + [
-                title_fmt.format(self.barcode_names[bc])
-                for bc in self.barcode_reporting_order]
-            _(''.join(fields))
+            emit(self.LABEL_FORMAT.format('') +
+                 ''.join(cell.format(self.barcode_names[bc])
+                         for bc in self.barcode_reporting_order))
 
-        tbl = pd.DataFrame(
-            [(k[0], -1 if k[1] is None else k[1], k[2], v)
-             for k, v in self.counts.items()],
-            columns=['label', 'barcode', 'status', 'count'])
-        tbl['label_key'] = tbl['label'].apply(
-            self.label_reporting_order.index)
-        ordered = (tbl.sort_values(by=['label_key', 'count'],
-                                   ascending=[True, False])
-                   .groupby(by=['label', 'status'], sort=False))
-        current_label = None
-        for lk, grp in ordered:
-            linelabel = None
-            if current_label is None or current_label != lk[0]:
-                current_label = lk[0]
-                if current_label in self.FRIENDLY_STATUS:
-                    _(self.LABEL_FORMAT.format(
-                        self.FRIENDLY_LABELS[current_label]))
-                else:
-                    linelabel = self.FRIENDLY_LABELS[current_label]
-            if linelabel is None:
-                linelabel = (self.LABEL_BULLET +
-                             self.FRIENDLY_STATUS[current_label][lk[1]])
-
-            by_barcode = grp.set_index('barcode')['count'].to_dict()
-            readcounts = [by_barcode.get(bc if bc is not None else -1, 0)
-                          for bc in self.barcode_reporting_order]
-            _(self.LABEL_FORMAT.format(linelabel) +
-              ''.join(num_fmt.format(cnt) for cnt in readcounts))
-        _('')
+        seen_labels = set()
+        for label, status, cells in self._grouped_rows():
+            itemized = label in self.FRIENDLY_STATUS
+            if label not in seen_labels:
+                seen_labels.add(label)
+                if itemized:      # a bare heading, statuses bulleted below
+                    emit(self.LABEL_FORMAT.format(self.FRIENDLY_LABELS[label]))
+            if itemized:
+                rowname = (self.LABEL_BULLET +
+                           self.FRIENDLY_STATUS[label][status])
+            else:                 # 'pass': counts sit on the heading line
+                rowname = self.FRIENDLY_LABELS[label]
+            emit(self.LABEL_FORMAT.format(rowname) +
+                 ''.join(cell.format(cells.get(bc, 0))
+                         for bc in self.barcode_reporting_order))
+        emit('')
 
 
 class DumpWriter:
