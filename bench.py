@@ -1,20 +1,29 @@
 #!/usr/bin/env python3
 """Headline benchmark: demux + segmentation throughput (reads/s) on TPU vs
-an optimized single-process CPU baseline.
+an optimized single-process CPU baseline, plus a full end-to-end session
+measurement (FAST5 directory -> all outputs, poly(A) + unsplit enabled).
 
-The metric follows BASELINE.md's north star: reads/s through the
+The headline metric follows BASELINE.md's north star: reads/s through the
 scaler + segmentation-Viterbi + demultiplexer path. The reference itself
 cannot run here (pomegranate/keras-2018 unavailable), so the CPU baseline
 re-creates its per-read cost structure with at-least-as-fast components:
 TensorFlow CPU for the two Keras RNNs (exactly what the reference ran) and
 the native C++ Viterbi (f64, pomegranate-class) per read.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The e2e measurement runs the real ProcessingSession over a synthetic
+fixture directory with every analysis stage enabled and reports reads/s
+plus the per-stage wall-time breakdown (ingest vs device vs writers), the
+host-I/O-throughput risk SURVEY.md §7.3 flags.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "e2e"}.
 """
 
+import argparse
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -22,6 +31,8 @@ import numpy as np
 BATCH = 128
 N_READS = 256
 CPU_SAMPLE = 24          # CPU baseline measured on a subsample, scaled
+E2E_READS = 2048
+E2E_READS_PER_FILE = 32  # multi-read FAST5 packing of the fixture set
 
 
 def make_inputs(engine, n_reads, seed=7):
@@ -146,28 +157,130 @@ def bench_cpu(config, heads, pooled, pooled_len):
     return n / elapsed
 
 
+def make_e2e_fixtures(indir, n_reads, seed=11):
+    """Synthetic multi-read FAST5 fixture set with a realistic read mix:
+    varying transcript/poly(A)/adapter durations, occasional spiky tails,
+    and ~1% pseudo-fusion reads (README.md:213-214 prevalence)."""
+    from poreplex_tpu import simulate
+    rng = np.random.RandomState(seed)
+    written = 0
+    fileno = 0
+    while written < n_reads:
+        count = min(E2E_READS_PER_FILE, n_reads - written)
+        reads = []
+        for _ in range(count):
+            kw = dict(
+                transcript_len=int(rng.uniform(4000, 26000)),
+                polya_len=int(rng.uniform(900, 4200)),
+                adapter_len=int(rng.uniform(4200, 6500)),
+                polya_spikes=int(rng.uniform(0, 3)),
+            )
+            if rng.uniform() < 0.01:
+                kw['extra_adapter_at'] = rng.uniform(0.3, 0.7)
+            reads.append(simulate.simulate_read(rng, **kw))
+        simulate.write_multi_read_fast5(
+            os.path.join(indir, 'batch{:04d}.fast5'.format(fileno)),
+            reads)
+        written += count
+        fileno += 1
+    return written
+
+
+def bench_e2e(n_reads):
+    """Full-session throughput: FAST5 dir -> FASTQ + summary + counts with
+    barcoding, poly(A), unsplit filtering and adapter trim all enabled.
+    Device compiles are warmed on the first file's reads before timing so
+    the number reflects steady state, not XLA compilation."""
+    import logging
+    from poreplex_tpu.config import build_config
+    from poreplex_tpu.pipeline.analyzer import get_analyzer
+    from poreplex_tpu.pipeline.session import ProcessingSession
+    from poreplex_tpu.fast5 import get_read_ids
+    from poreplex_tpu.utils.profiling import GLOBAL_TIMER
+
+    indir = tempfile.mkdtemp(prefix='bench-e2e-in-')
+    outdir = tempfile.mkdtemp(prefix='bench-e2e-out-')
+    try:
+        t0 = time.time()
+        n_written = make_e2e_fixtures(indir, n_reads)
+        fixture_s = time.time() - t0
+
+        config = build_config(indir, outdir, barcoding=True,
+                              measure_polya=True, filter_unsplit_reads=True,
+                              trim_adapter=True, quiet=True,
+                              device_batch_size=BATCH)
+        logger = logging.getLogger('bench-e2e')
+        logger.addHandler(logging.NullHandler())
+        logger.propagate = False
+
+        # warm the device programs through the same analyzer instance the
+        # session will reuse (get_analyzer caches on this config object)
+        analyzer = get_analyzer(config)
+        firstfile = sorted(os.listdir(indir))[0]
+        warm_entries = list(get_read_ids(firstfile, indir))[:BATCH]
+        analyzer.process_batch(-1, warm_entries)
+
+        with GLOBAL_TIMER.lock:
+            GLOBAL_TIMER.totals.clear()
+            GLOBAL_TIMER.counts.clear()
+        t0 = time.time()
+        printer = ProcessingSession.run(config, logger)
+        elapsed = time.time() - t0
+        if printer is None:
+            raise RuntimeError('e2e session did not finish cleanly')
+
+        stages = {name: row['total_s']
+                  for name, row in GLOBAL_TIMER.snapshot().items()}
+        return {
+            'reads_per_s': round(n_written / elapsed, 2),
+            'n_reads': n_written,
+            'wall_s': round(elapsed, 2),
+            'fixture_gen_s': round(fixture_s, 2),
+            'stage_wall_s': stages,
+        }
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
 def main():
     from poreplex_tpu.config import build_config
     from poreplex_tpu.pipeline.engine import DeviceEngine
-    import tempfile
 
-    tmp = tempfile.mkdtemp(prefix='bench-')
-    config = build_config(tmp, tmp, barcoding=True, device_batch_size=BATCH)
-    engine = DeviceEngine(config)
-    heads, pooled, pooled_len = make_inputs(engine, N_READS)
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--skip-e2e', action='store_true')
+    parser.add_argument('--skip-stage1', action='store_true')
+    parser.add_argument('--e2e-reads', type=int, default=E2E_READS)
+    args = parser.parse_args()
 
-    tpu_rps = bench_tpu(engine, pooled, pooled_len)
-    try:
-        cpu_rps = bench_cpu(config, heads, pooled, pooled_len)
-    except Exception as exc:
-        print('cpu baseline failed: {}'.format(exc), file=sys.stderr)
-        cpu_rps = None
+    tpu_rps = cpu_rps = None
+    if not args.skip_stage1:
+        tmp = tempfile.mkdtemp(prefix='bench-')
+        config = build_config(tmp, tmp, barcoding=True,
+                              device_batch_size=BATCH)
+        engine = DeviceEngine(config)
+        heads, pooled, pooled_len = make_inputs(engine, N_READS)
+
+        tpu_rps = bench_tpu(engine, pooled, pooled_len)
+        try:
+            cpu_rps = bench_cpu(config, heads, pooled, pooled_len)
+        except Exception as exc:
+            print('cpu baseline failed: {}'.format(exc), file=sys.stderr)
+
+    e2e = None
+    if not args.skip_e2e:
+        try:
+            e2e = bench_e2e(args.e2e_reads)
+        except Exception as exc:
+            print('e2e bench failed: {}'.format(exc), file=sys.stderr)
 
     result = {
         'metric': 'demux_segmentation_throughput',
-        'value': round(tpu_rps, 2),
+        'value': round(tpu_rps, 2) if tpu_rps else None,
         'unit': 'reads/s',
-        'vs_baseline': round(tpu_rps / cpu_rps, 2) if cpu_rps else None,
+        'vs_baseline': (round(tpu_rps / cpu_rps, 2)
+                        if tpu_rps and cpu_rps else None),
+        'e2e': e2e,
     }
     print(json.dumps(result))
 

@@ -44,21 +44,36 @@ def _centered_cumsums(x, lengths):
 def compute_tstat(cs, css, lengths, w):
     """Windowed t-statistic [B, T] from centered cumsums (semantics of
     event_detection.c:62-117: nonzero only for w <= i <= L - w; zero when
-    L < 2w or w < 2)."""
+    L < 2w or w < 2).
+
+    The window offsets (i-w, i, i+w, edge-clamped) are static, so the
+    lookups compile to shifted slices — dynamic take_along_axis gathers
+    cost ~0.45s/batch on TPU at the 131k-frame bucket."""
     batch = cs.shape[0]
     seqlen = cs.shape[1] - 1
     idx = jnp.arange(seqlen)
 
-    i0 = jnp.maximum(idx - w, 0)
-    sum1 = jnp.take_along_axis(cs, jnp.broadcast_to(idx[None, :], (batch, seqlen)), 1) - \
-        jnp.take_along_axis(cs, jnp.broadcast_to(i0[None, :], (batch, seqlen)), 1)
-    ssq1 = jnp.take_along_axis(css, jnp.broadcast_to(idx[None, :], (batch, seqlen)), 1) - \
-        jnp.take_along_axis(css, jnp.broadcast_to(i0[None, :], (batch, seqlen)), 1)
-    i2 = jnp.minimum(idx + w, seqlen)
-    sum2 = jnp.take_along_axis(cs, jnp.broadcast_to(i2[None, :], (batch, seqlen)), 1) - \
-        jnp.take_along_axis(cs, jnp.broadcast_to(idx[None, :], (batch, seqlen)), 1)
-    ssq2 = jnp.take_along_axis(css, jnp.broadcast_to(i2[None, :], (batch, seqlen)), 1) - \
-        jnp.take_along_axis(css, jnp.broadcast_to(idx[None, :], (batch, seqlen)), 1)
+    def at_i(c):                    # c[:, i]
+        return c[:, :seqlen]
+
+    def at_i_minus_w(c):            # c[:, max(i - w, 0)]
+        if w >= seqlen:
+            return jnp.broadcast_to(c[:, :1], (batch, seqlen))
+        return jnp.concatenate(
+            [jnp.broadcast_to(c[:, :1], (batch, w)), c[:, :seqlen - w]],
+            axis=1)
+
+    def at_i_plus_w(c):             # c[:, min(i + w, L_max)]
+        if w > seqlen:
+            return jnp.broadcast_to(c[:, seqlen:], (batch, seqlen))
+        return jnp.concatenate(
+            [c[:, w:seqlen + 1],
+             jnp.broadcast_to(c[:, seqlen:], (batch, w - 1))], axis=1)
+
+    sum1 = at_i(cs) - at_i_minus_w(cs)
+    ssq1 = at_i(css) - at_i_minus_w(css)
+    sum2 = at_i_plus_w(cs) - at_i(cs)
+    ssq2 = at_i_plus_w(css) - at_i(css)
 
     wf = jnp.float32(w)
     mean1 = sum1 / wf
@@ -170,17 +185,23 @@ def detect_peaks(tstat1, tstat2, lengths, threshold1, threshold2,
 def compact_peaks(peaks_short, peaks_long, max_peaks):
     """Merge the two emission streams into append order (short before long at
     the same timestep, matching the C code's inner detector loop), keeping
-    only positions > 0, compacted to [B, max_peaks] with -1 padding."""
+    only positions > 0, compacted to [B, max_peaks] with -1 padding.
+
+    Output slot k holds the (k+1)-th valid entry, located by binary search
+    on the running count of valid entries — a [B, 2T] argsort would cost
+    ~0.5s/batch on TPU at the 131k-frame window bucket."""
     batch, seqlen = peaks_short.shape
     max_peaks = min(max_peaks, 2 * seqlen)
     inter = jnp.stack([peaks_short, peaks_long], axis=2).reshape(
         batch, 2 * seqlen)
     validp = inter > 0
-    slot = jnp.arange(2 * seqlen)
-    key = jnp.where(validp, slot, 2 * seqlen + slot)
-    order = jnp.argsort(key, axis=1)[:, :max_peaks]
-    gathered = jnp.take_along_axis(inter, order, axis=1)
-    count = jnp.minimum(jnp.sum(validp, axis=1), max_peaks)
+    running = jnp.cumsum(validp.astype(jnp.int32), axis=1)
+    count = jnp.minimum(running[:, -1], max_peaks)
+    ks = jnp.arange(1, max_peaks + 1, dtype=jnp.int32)
+    idx = jax.vmap(lambda row: jnp.searchsorted(row, ks, side='left'))(
+        running)
+    gathered = jnp.take_along_axis(inter, jnp.minimum(idx, 2 * seqlen - 1),
+                                   axis=1)
     in_range = jnp.arange(max_peaks)[None, :] < count[:, None]
     return jnp.where(in_range, gathered, -1), count
 
@@ -225,22 +246,33 @@ def event_stats(boundaries, n_bounds, center, cs, css, lengths):
 
 
 @partial(jax.jit, static_argnames=('window_length1', 'window_length2',
-                                   'max_peaks'))
+                                   'threshold1', 'threshold2', 'peak_height',
+                                   'max_peaks', 'use_pallas', 'interpret'))
 def detect_events(signal, lengths, window_length1=7, window_length2=20,
                   threshold1=3.0, threshold2=8.0, peak_height=4.0,
-                  max_peaks=1023):
+                  max_peaks=1023, use_pallas=False, interpret=False):
     """Full batched event detection.
 
     signal: [B, T] f32 (padded), lengths: [B] i32
     Returns dict with start [B,P+1] i32, length/mean/stdv [B,P+1] f32,
-    n_events [B] i32.
+    n_events [B] i32. ``use_pallas`` runs the sequential peak-detector
+    state machine as a fused TPU kernel (ops/pallas_event_detection)
+    instead of a lax.scan — identical emissions, ~2 orders of magnitude
+    faster on long windows; ``interpret`` additionally runs that kernel in
+    Pallas interpret mode (CPU testing).
     """
     lengths = lengths.astype(jnp.int32)
     center, cs, css = _centered_cumsums(signal, lengths)
     t1 = compute_tstat(cs, css, lengths, window_length1)
     t2 = compute_tstat(cs, css, lengths, window_length2)
-    ps, pl = detect_peaks(t1, t2, lengths, threshold1, threshold2,
-                          window_length1, window_length2, peak_height)
+    if use_pallas:
+        from . import pallas_event_detection as ped
+        ps, pl = ped.detect_peaks(t1, t2, lengths, threshold1, threshold2,
+                                  window_length1, window_length2,
+                                  peak_height, interpret=interpret)
+    else:
+        ps, pl = detect_peaks(t1, t2, lengths, threshold1, threshold2,
+                              window_length1, window_length2, peak_height)
     bounds, n_bounds = compact_peaks(ps, pl, max_peaks)
     starts, length, mean, stdv, n_events = event_stats(
         bounds, n_bounds, center, cs, css, lengths)

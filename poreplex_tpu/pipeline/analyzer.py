@@ -77,12 +77,15 @@ class BatchAnalyzer:
         self.polya_analyzer = (
             PolyaAnalyzer(config['polya_dwell'],
                           sharding=self.kernel_sharding,
-                          n_devices=self.kernel_devices)
+                          n_devices=self.kernel_devices,
+                          use_pallas=self.engine.use_pallas,
+                          batch_rows=self.engine.batch_rows)
             if config['measure_polya'] else None)
         self.unsplit_detector = (
             UnsplitReadDetector(config, self.engine.unsplitmodel,
                                 sharding=self.kernel_sharding,
-                                n_devices=self.kernel_devices)
+                                n_devices=self.kernel_devices,
+                                batch_rows=self.engine.batch_rows)
             if config['filter_unsplit_reads'] else None)
 
         if config['albacore_onthefly']:

@@ -48,6 +48,8 @@ def _default_platform(device=None):
 class DeviceEngine:
 
     def __init__(self, config, device=None):
+        from ..utils import enable_compile_cache
+        enable_compile_cache()
         self.config = config
         self.device = device
         sp = config['signal_processing']

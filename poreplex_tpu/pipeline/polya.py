@@ -52,13 +52,20 @@ class PolyaAnalyzer:
         'maximum_openend_extension', 'median_pre_filter',
     ]
 
-    def __init__(self, config, sharding=None, n_devices=1):
+    def __init__(self, config, sharding=None, n_devices=1, use_pallas=False,
+                 batch_rows=128):
         for name in self.CONFIG_SLOTS:
             setattr(self, name, config[name])
         # batch-sharded kernel placement on a multi-chip mesh (pass-through
         # single-device otherwise); see parallel.sharding.shard_batch_arrays
         self.sharding = sharding
         self.n_devices = n_devices
+        # fused TPU peak-detector kernel (ops/pallas_event_detection)
+        self.use_pallas = use_pallas
+        # device dispatches always carry this many rows: task-count changes
+        # between batches/rounds must not trigger XLA recompiles (only the
+        # window-length bucket may vary the compiled shape)
+        self.batch_rows = max(int(batch_rows), n_devices)
 
         mean_loc, mean_scale = config['polya_mean_dist']
         self.polya_mean_cutoff = (
@@ -102,33 +109,44 @@ class PolyaAnalyzer:
         task.signal = np.asarray(sig, np.float32)
 
     def _detect_events_batched(self, tasks):
-        """Bucketed batched device event detection over task windows."""
+        """Bucketed batched device event detection over task windows.
+        Every dispatch carries exactly ``batch_rows`` rows (groups larger
+        than that are chunked), so the only compiled-shape axis is the
+        window-length bucket; all chunks are dispatched before any result
+        is awaited, overlapping uploads with device compute."""
         ed = self.event_detection
         by_bucket = {}
         for t in tasks:
             by_bucket.setdefault(_bucket_len(len(t.signal)), []).append(t)
         from ..parallel.sharding import shard_batch_arrays
+        rows = self.batch_rows
+        launches = []
         for blen, group in sorted(by_bucket.items()):
-            x = np.zeros((len(group), blen), np.float32)
-            lens = np.zeros(len(group), np.int32)
-            for i, t in enumerate(group):
-                x[i, :len(t.signal)] = t.signal
-                lens[i] = len(t.signal)
-            x, lens = shard_batch_arrays(self.sharding, self.n_devices,
-                                         x, lens)
-            out = ed_ops.detect_events(
-                x, lens,
-                window_length1=ed['window_length1'],
-                window_length2=ed['window_length2'],
-                threshold1=float(ed['threshold1']),
-                threshold2=float(ed['threshold2']),
-                peak_height=float(ed['peak_height']))
+            for lo in range(0, len(group), rows):
+                chunk = group[lo:lo + rows]
+                x = np.zeros((rows, blen), np.float32)
+                lens = np.zeros(rows, np.int32)
+                for i, t in enumerate(chunk):
+                    x[i, :len(t.signal)] = t.signal
+                    lens[i] = len(t.signal)
+                x, lens = shard_batch_arrays(self.sharding, self.n_devices,
+                                             x, lens)
+                out = ed_ops.detect_events(
+                    x, lens,
+                    window_length1=ed['window_length1'],
+                    window_length2=ed['window_length2'],
+                    threshold1=float(ed['threshold1']),
+                    threshold2=float(ed['threshold2']),
+                    peak_height=float(ed['peak_height']),
+                    use_pallas=self.use_pallas)
+                launches.append((chunk, out))
+        for chunk, out in launches:
             starts = np.asarray(out['start'])
             lengths = np.asarray(out['length'])
             means = np.asarray(out['mean'])
             stdvs = np.asarray(out['stdv'])
             nev = np.asarray(out['n_events'])
-            for i, t in enumerate(group):
+            for i, t in enumerate(chunk):
                 n = int(nev[i])
                 t.events = {
                     'start': starts[i, :n].astype(np.int64),
@@ -140,31 +158,37 @@ class PolyaAnalyzer:
                                    t.events['length']).astype(np.int64)
 
     def _dp_wave(self, tasks):
-        """Run the interval DP for all tasks in one padded device call.
+        """Run the interval DP for all tasks in padded fixed-row device
+        calls (compiled shape varies only with the event-count bucket).
         Returns list of (start, end) or None per task."""
         if not tasks:
             return []
-        kmax = max(64, max(len(t.is_polya) for t in tasks))
-        kmax = 1 << (kmax - 1).bit_length()
-        B = len(tasks)
-        ip = np.zeros((B, kmax), bool)
-        ln = np.zeros((B, kmax), np.float32)
-        n = np.zeros(B, np.int32)
-        for i, t in enumerate(tasks):
-            k = len(t.is_polya)
-            ip[i, :k] = t.is_polya
-            ln[i, :k] = t.events['length']
-            n[i] = k
+        results = []
+        rows = self.batch_rows
         from ..parallel.sharding import shard_batch_arrays
-        ip, ln, n = shard_batch_arrays(self.sharding, self.n_devices,
-                                       ip, ln, n)
-        s, e, v = dp_ops.find_best_polya_interval(
-            ip, ln, n,
-            spike_weight=float(self.spike_weight),
-            spike_tolerance=int(self.spike_tolerance))
-        s, e, v = np.asarray(s), np.asarray(e), np.asarray(v)
-        return [(int(s[i]), int(e[i])) if v[i] > 0 else None
-                for i in range(B)]
+        for lo in range(0, len(tasks), rows):
+            chunk = tasks[lo:lo + rows]
+            kmax = max(64, max(len(t.is_polya) for t in chunk))
+            kmax = 1 << (kmax - 1).bit_length()
+            ip = np.zeros((rows, kmax), bool)
+            ln = np.zeros((rows, kmax), np.float32)
+            n = np.zeros(rows, np.int32)
+            for i, t in enumerate(chunk):
+                k = len(t.is_polya)
+                ip[i, :k] = t.is_polya
+                ln[i, :k] = t.events['length']
+                n[i] = k
+            ip, ln, n = shard_batch_arrays(self.sharding, self.n_devices,
+                                           ip, ln, n)
+            s, e, v = dp_ops.find_best_polya_interval(
+                ip, ln, n,
+                spike_weight=float(self.spike_weight),
+                spike_tolerance=int(self.spike_tolerance))
+            s, e, v = np.asarray(s), np.asarray(e), np.asarray(v)
+            results.extend(
+                (int(s[i]), int(e[i])) if v[i] > 0 else None
+                for i in range(len(chunk)))
+        return results
 
     # ------------------------------------------------------------------
     def _run_round(self, tasks, stride):

@@ -193,8 +193,19 @@ class ProcessingSession:
     def run_in_executor_compute(self, *args):
         return self.loop.run_in_executor(self.executor_compute, *args)
 
-    def run_in_executor_io(self, *args):
-        return self.loop.run_in_executor(self.executor_io, *args)
+    def run_in_executor_io(self, fn, *args):
+        return self.loop.run_in_executor(
+            self.executor_io, self._timed_io, fn, *args)
+
+    @staticmethod
+    def _timed_io(fn, *args):
+        # per-writer wall time on the io thread, reported with the other
+        # stage timings at session end (SURVEY.md §7.3: output fan-out must
+        # be visible next to ingest/device time to spot host-I/O bottlenecks)
+        from ..utils.profiling import GLOBAL_TIMER
+        with GLOBAL_TIMER.stage(
+                'D:io_' + getattr(fn, '__qualname__', 'call')):
+            return fn(*args)
 
     def run_in_executor_mon(self, *args):
         return self.loop.run_in_executor(self.executor_mon, *args)

@@ -15,12 +15,16 @@ from ..utils.intervals import union_intervals
 
 class UnsplitReadDetector:
 
-    def __init__(self, config, unsplit_model, sharding=None, n_devices=1):
+    def __init__(self, config, unsplit_model, sharding=None, n_devices=1,
+                 batch_rows=128):
         self.config = config['unsplit_read_detection']
         self.model = unsplit_model
         # batch-sharded Viterbi placement on a multi-chip mesh
         self.sharding = sharding
         self.n_devices = n_devices
+        # fixed-row device dispatches: window-count changes between batches
+        # must not trigger XLA recompiles (only the event-count bucket may)
+        self.batch_rows = max(int(batch_rows), n_devices)
         names = unsplit_model.state_names
         self.leaderish = {unsplit_model.state_index[n]
                           for n in ('adapter', 'leader-high', 'leader-low')
@@ -58,23 +62,29 @@ class UnsplitReadDetector:
 
     # ------------------------------------------------------------------
     def decode_windows_batched(self, jobs):
-        """jobs: list of (read, window_index_array). Runs one padded device
-        Viterbi over all windows; returns list of state paths."""
+        """jobs: list of (read, window_index_array). Runs padded fixed-row
+        device Viterbi calls over all windows (compiled shape varies only
+        with the event-count bucket); returns list of state paths."""
         if not jobs:
             return []
-        emax = max(len(sel) for _, sel in jobs)
-        emax = max(8, 1 << (emax - 1).bit_length())
-        B = len(jobs)
-        x = np.zeros((B, emax), np.float32)
-        lens = np.zeros(B, np.int32)
-        for i, (read, sel) in enumerate(jobs):
-            vals = read.events['scaled_mean'].to_numpy()[sel]
-            x[i, :len(sel)] = vals
-            lens[i] = len(sel)
         from ..parallel.sharding import shard_batch_arrays
-        xs, ls = shard_batch_arrays(self.sharding, self.n_devices, x, lens)
-        path, logp, first, last, present = self.model.decode(xs, ls)
-        return [path[i, :lens[i]] for i in range(B)]
+        rows = self.batch_rows
+        paths = []
+        for lo in range(0, len(jobs), rows):
+            chunk = jobs[lo:lo + rows]
+            emax = max(len(sel) for _, sel in chunk)
+            emax = max(8, 1 << (emax - 1).bit_length())
+            x = np.zeros((rows, emax), np.float32)
+            lens = np.zeros(rows, np.int32)
+            for i, (read, sel) in enumerate(chunk):
+                vals = read.events['scaled_mean'].to_numpy()[sel]
+                x[i, :len(sel)] = vals
+                lens[i] = len(sel)
+            xs, ls = shard_batch_arrays(self.sharding, self.n_devices,
+                                        x, lens)
+            path, logp, first, last, present = self.model.decode(xs, ls)
+            paths.extend(path[i, :lens[i]] for i in range(len(chunk)))
+        return paths
 
     # ------------------------------------------------------------------
     def analyze_read(self, read, payload_start, windows, paths):

@@ -20,6 +20,7 @@ import optax
 
 from ..ops import rnn
 from . import losses
+from .calibration import compute_calibration_table  # noqa: F401 (re-export)
 from .data import demux_dataset
 
 NUM_CLASSES = 5
@@ -81,28 +82,6 @@ def make_train_step(optimizer, cost_mat):
         return optax.apply_updates(params, updates), opt_state, loss
 
     return train_step
-
-
-def compute_calibration_table(scores, correct, max_phred=28):
-    """Held-out score -> phred calibration: minimum score at which the
-    empirical error rate stays below 10^(-phred/10). Monotone 29-row table
-    in the committed format (role of
-    training/barcodes/scripts/compute_score_calibration_table.py)."""
-    order = np.argsort(-scores)
-    scores, correct = scores[order], correct[order]
-    n = len(scores)
-    # cumulative error rate from the top score downward
-    cum_err = np.cumsum(~correct) / np.arange(1, n + 1)
-    table = np.zeros(max_phred + 1, np.float64)
-    for phred in range(1, max_phred + 1):
-        target = 10 ** (-phred / 10)
-        ok = np.nonzero(cum_err <= target)[0]
-        if len(ok) == 0:
-            table[phred] = 1.0          # unattainable at this data size
-        else:
-            table[phred] = scores[ok[-1]]
-    # enforce monotonicity
-    return np.maximum.accumulate(table)
 
 
 def save_checkpoint(path, params, calibration, cost_mat):

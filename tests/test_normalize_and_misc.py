@@ -113,3 +113,94 @@ def test_dashboard_load_aliases(tmp_path):
     p = tmp_path / 'aliases.txt'
     p.write_text('NC_0001\tchr1\nNC_0002\tchr2\n')
     assert load_aliases(str(p)) == {'NC_0001': 'chr1', 'NC_0002': 'chr2'}
+
+
+def test_dashboard_format_bar():
+    from poreplex_tpu.dashboard import format_bar
+    row = format_bar('progress', 0.5, 40)
+    assert row.startswith('progress [')
+    assert row.endswith('  50.0%')
+    assert len(row) <= 40
+    inner = row[row.index('[') + 1:row.index(']')]
+    assert inner.count('#') == round(len(inner) * 0.5)
+    # clamping
+    assert format_bar('x', 1.7, 30).endswith(' 100.0%')
+    assert '#' not in format_bar('x', -0.2, 30)
+
+
+def test_dashboard_rates():
+    from poreplex_tpu.dashboard import (demux_rate, mapped_rate,
+                                        ReadMappingStatistics)
+    counts = {('pass', 0, 'okay'): 30, ('pass', None, 'okay'): 10,
+              ('fail', None, 'adapter_not_detected'): 10}
+    rate, total = demux_rate(counts)
+    assert total == 50 and rate == pytest.approx(0.6)
+    assert demux_rate({}) == (0.0, 0)
+
+    stats = ReadMappingStatistics()
+    stats.feed({'mapped': {0: ['chr1'] * 6}, 'unmapped': {0: 3},
+                'failed': {None: 1}})
+    rate, denom = mapped_rate(stats)
+    assert denom == 10 and rate == pytest.approx(0.6)
+
+
+def test_dashboard_render_layout():
+    """Pure renderer: header, two progress bars, group stats and the
+    top-contig panel fit the given screen and clamp to it
+    (poreplex/dashboard.py:140-505 feature set)."""
+    from poreplex_tpu.dashboard import render_dashboard
+    state = {
+        'elapsed_s': 3723.0,   # 01:02:03
+        'reads_found': 100, 'reads_processed': 40, 'reads_queued': 60,
+        'scan_finished': False,
+        'rate_label': 'demuxed', 'rate_fraction': 0.25,
+        'group_name': 'BC1', 'mapped': 7, 'unmapped': 2, 'failed': 1,
+        'top_contigs': [('chr{}'.format(i), 50 - i) for i in range(60)],
+    }
+    width, height = 72, 20
+    rows = render_dashboard(state, width, height)
+    assert len(rows) <= height
+    assert all(len(r) <= width for r in rows)
+    assert '01:02:03' in rows[0]
+    assert 'found 100' in rows[0] and 'processed 40' in rows[0]
+    assert rows[1].startswith('progress') and '40.0%' in rows[1]
+    assert '(scanning)' in rows[1]
+    assert rows[2].startswith('demuxed') and '25.0%' in rows[2]
+    assert 'Group: BC1' in rows[4]
+    assert 'mapped 7  unmapped 2  failed 1' in rows[5]
+    assert rows[7] == 'Top mapped contigs:'
+    # contig panel clipped to the remaining rows
+    assert 'chr0' in rows[8]
+    assert len(rows) == height
+
+
+def test_dashboard_snapshot_state():
+    from collections import defaultdict
+    from poreplex_tpu.dashboard import DashboardView
+
+    class FakeTracker:
+        counts = {('pass', 1, 'okay'): 8, ('pass', None, 'okay'): 2}
+
+    class FakeSession:
+        reads_found = 20
+        reads_processed = 10
+        reads_queued = 10
+        scan_finished = True
+        finalsummary_tracker = FakeTracker()
+
+    view = DashboardView(FakeSession(), {1: 'BC2', None: 'undetermined'},
+                         'progress', 'demux_rate', 0, {})
+    view.stats.feed({'mapped': {1: ['chr2', 'chr2']}, 'unmapped': {1: 1}})
+    view.selected_group = 99     # clamps to the known groups
+    state = view.snapshot_state()
+    assert view.selected_group == 0
+    assert state['group_name'] == 'BC2'
+    assert state['mapped'] == 2 and state['unmapped'] == 1
+    assert state['rate_label'] == 'demuxed'
+    assert state['rate_fraction'] == pytest.approx(0.8)
+    assert state['top_contigs'] == [('chr2', 2)]
+
+    view.rate_stat = 'mapped_rate'
+    state = view.snapshot_state()
+    assert state['rate_label'] == 'mapped'
+    assert state['rate_fraction'] == pytest.approx(2 / 3)

@@ -156,6 +156,59 @@ def test_not_basecalled_and_short_reads(tmp_path):
     assert by_file['gone.fast5']['status'] == 'disappeared'
 
 
+def test_live_mode_polling_discovery(tmp_path):
+    """The live watcher's mtime-polling fallback (no inotify installed
+    here) must pick up FAST5 files created AFTER the watch starts, and
+    must not re-queue reads already recorded as done
+    (role of poreplex/pipeline.py:339-368)."""
+    import asyncio
+    import time
+
+    inputdir = str(tmp_path / 'livein')
+    outputdir = str(tmp_path / 'liveout')
+    os.makedirs(inputdir)
+    os.makedirs(outputdir)
+    config = build_config(inputdir, outputdir, live=True,
+                          batch_chunk_size=1000)   # accumulate, don't flush
+    logger = logging.getLogger('test-live')
+
+    with ProcessingSession(config, logger) as sess:
+        async def scenario():
+            watch = sess.loop.create_task(
+                sess.live_watch_inputs(inputdir))
+            await asyncio.sleep(0.2)     # watcher is polling an empty dir
+            entries = simulate.make_fixture_dir(inputdir, n_reads=2, seed=5)
+            sess.reads_done.add(entries[0])   # dedup: must not re-queue
+            deadline = time.time() + 20
+            while time.time() < deadline and not sess.jobstack:
+                await asyncio.sleep(0.2)
+            watch.cancel()
+            try:
+                await watch
+            except asyncio.CancelledError:
+                pass
+            return entries
+        entries = sess.loop.run_until_complete(scenario())
+        assert entries[1] in sess.jobstack
+        assert entries[0] not in sess.jobstack
+        assert sess.reads_found == 1
+
+
+def test_live_snapshot_tree(tmp_path):
+    (tmp_path / 'a.fast5').write_bytes(b'x')
+    (tmp_path / '.hidden.fast5').write_bytes(b'x')
+    (tmp_path / 'notes.txt').write_bytes(b'x')
+    sub = tmp_path / 'sub'
+    sub.mkdir()
+    (sub / 'b.FAST5').write_bytes(b'x')
+    hidden_dir = tmp_path / '.cache'
+    hidden_dir.mkdir()
+    (hidden_dir / 'c.fast5').write_bytes(b'x')
+    snap = ProcessingSession._snapshot_tree(str(tmp_path), '.fast5')
+    assert set(snap) == {'a.fast5', os.path.join('sub', 'b.FAST5')}
+    assert all(isinstance(v, float) for v in snap.values())
+
+
 def test_bgzf_writer_roundtrip(tmp_path):
     from poreplex_tpu.io.bgzf import BGZFWriter, BGZF_EOF
     path = str(tmp_path / 'x.gz')

@@ -35,6 +35,41 @@ def test_calibration_table_monotone():
     assert table[0] == 0.0
 
 
+def test_calibration_table_small_data_fallback():
+    rng = np.random.RandomState(3)
+    scores = rng.uniform(0.2, 1.0, 200)    # below the smallest window size
+    correct = rng.uniform(size=200) < scores
+    table = compute_calibration_table(scores, correct)
+    assert len(table) == 29
+    assert (np.diff(table) >= 0).all()
+
+
+def test_calibration_table_inverts_known_error_curve():
+    """Multiscale procedure (role of training/barcodes/scripts/
+    compute_score_calibration_table.py): with error(score) = 1 - score, the
+    table must approximately solve score(phred) = 1 - 10^(-phred/10), and
+    reads above each threshold must meet the phred's error budget."""
+    from poreplex_tpu.training.calibration import build_calibration_table
+    rng = np.random.RandomState(7)
+    n = 60000
+    scores = 1.0 - rng.power(2.5, n)        # dense near 1.0 like real scores
+    correct = rng.uniform(size=n) < scores
+    table = build_calibration_table(scores, correct)
+
+    assert len(table) == 29
+    assert (np.diff(table) >= 0).all()
+    assert table[0] == 0.0
+    for phred in range(2, 29):
+        if table[phred] >= 1.0:     # unattainable at this data size
+            continue
+        expected = 1.0 - 10 ** (-phred / 10)
+        assert abs(table[phred] - expected) < 0.05, (phred, table[phred])
+        sel = scores >= table[phred]
+        if sel.sum() >= 500:
+            err = (~correct[sel]).mean()
+            assert err <= 1.6 * 10 ** (-phred / 10), (phred, err)
+
+
 def test_train_demux_and_load(tmp_path):
     path = str(tmp_path / 'demux.npz')
     acc = train_demux(path, steps=60, n_per_class=60, log=lambda *a: None)
