@@ -44,45 +44,55 @@ def init_logging(config):
     return logger
 
 
-def create_output_directories(config):
-    """(poreplex/commandline.py:90-135)"""
-    outputdir = config['outputdir']
-    existing = os.listdir(outputdir)
-    if existing and config.get('resume'):
-        existing = []           # keep previous outputs; manifest dedups
-    if existing:
-        while config['interactive']:
-            try:
-                answer = input('Output directory {} is not empty. Clear it? '
-                               '(y/N) '.format(outputdir))
-            except KeyboardInterrupt:
-                raise SystemExit
-            answer = answer.lower()[:1]
-            if answer in ('', 'n'):
-                sys.exit(1)
-            elif answer == 'y':
-                print()
-                break
-        for ent in existing:
-            fpath = os.path.join(outputdir, ent)
-            if os.path.isdir(fpath):
-                shutil.rmtree(fpath)
-            else:
-                os.unlink(fpath)
+# sink flag -> subdirectory; one entry per optional output family. The
+# names are layout constants required for output parity with the
+# reference's directory tree.
+OUTPUT_SUBDIRS = (
+    ('fastq_output', 'fastq'),
+    ('fast5_output', 'fast5'),
+    ('nanopolish_output', 'nanopolish'),
+    ('minimap2_index', 'bam'),
+    ('dump_adapter_signals', 'adapter-dumps'),
+    ('dump_basecalls', 'events'),
+)
 
-    conditional_subdirs = [
-        ('fastq_output', 'fastq'),
-        ('fast5_output', 'fast5'),
-        ('nanopolish_output', 'nanopolish'),
-        ('minimap2_index', 'bam'),
-        ('dump_adapter_signals', 'adapter-dumps'),
-        ('dump_basecalls', 'events'),
-    ]
-    for condition, subdir in conditional_subdirs:
-        if config[condition]:
-            fullpath = os.path.join(outputdir, subdir)
-            if not os.path.isdir(fullpath):
-                os.makedirs(fullpath)
+
+def _confirm_clear(outputdir):
+    """Interactive gate before wiping a non-empty output directory:
+    y => proceed, empty/n => abort the run, anything else => ask again."""
+    prompt = ('Output directory {} is not empty. Clear it? '
+              '(y/N) '.format(outputdir))
+    while True:
+        try:
+            answer = input(prompt).lower()
+        except KeyboardInterrupt:
+            raise SystemExit
+        if answer.startswith('y'):
+            print()
+            return
+        if not answer or answer.startswith('n'):
+            sys.exit(1)
+
+
+def create_output_directories(config):
+    """Prepare the output tree. Behavior contract (role of
+    poreplex/commandline.py:90-135): a non-empty output directory is
+    cleared — behind an interactive y/N gate when enabled, and skipped
+    entirely under --resume, which keeps prior outputs for the manifest to
+    dedup against; subdirectories appear only for enabled sinks; the
+    tmpdir is created on demand and flagged for end-of-run cleanup."""
+    outputdir = config['outputdir']
+    leftovers = [] if config.get('resume') else os.listdir(outputdir)
+    if leftovers:
+        if config['interactive']:
+            _confirm_clear(outputdir)
+        for entry in leftovers:
+            path = os.path.join(outputdir, entry)
+            (shutil.rmtree if os.path.isdir(path) else os.unlink)(path)
+
+    for flag, subdir in OUTPUT_SUBDIRS:
+        if config[flag]:
+            os.makedirs(os.path.join(outputdir, subdir), exist_ok=True)
 
     if not os.path.isdir(config['tmpdir']):
         os.makedirs(config['tmpdir'])

@@ -55,31 +55,44 @@ def load_preset(name_or_path=''):
     return config
 
 
+# label -> output directory name; 'artifact' only participates when the
+# unsplit-read filter can produce that label
+_LABEL_DIRNAMES = (
+    ('fail', OUTPUT_NAME_FAILED),
+    ('pass', OUTPUT_NAME_PASSED),
+    ('artifact', OUTPUT_NAME_ARTIFACT),
+)
+
+
 def setup_output_name_mapping(config):
-    """Build the (label, barcode) -> output-name layout
-    (reference: poreplex/commandline.py:137-159)."""
-    label_names = {'fail': OUTPUT_NAME_FAILED, 'pass': OUTPUT_NAME_PASSED}
+    """(label, barcode) -> relative output-path layout.
 
+    Output-tree contract (role of poreplex/commandline.py:137-159):
+    without barcoding every label writes to one stream keyed
+    ``(label, None)``; with barcoding each label fans out into one
+    subdirectory per barcode plus 'undetermined' for reads below the
+    demux score threshold."""
+    active = {'pass', 'fail'}
     if config['filter_unsplit_reads']:
-        label_names['artifact'] = OUTPUT_NAME_ARTIFACT
+        active.add('artifact')
+    label_names = {label: dirname for label, dirname in _LABEL_DIRNAMES
+                   if label in active}
 
-    if config['barcoding']:
-        num_barcodes = config['demultiplexing']['number_of_barcodes']
-        barcode_names = {None: OUTPUT_NAME_UNDETERMINED}
-        for i in range(num_barcodes):
-            barcode_names[i] = OUTPUT_NAME_BARCODES.format(n=i + 1)
-
-        layout_maps = {
-            (label, bc): os.path.join(labelname, bcname)
-            for label, labelname in label_names.items()
-            for bc, bcname in barcode_names.items()
-        }
-    else:
+    if not config['barcoding']:
         barcode_names = {None: OUTPUT_NAME_BARCODING_OFF}
-        layout_maps = {
-            (label, None): labelname for label, labelname in label_names.items()}
+        layout = {(label, None): dirname
+                  for label, dirname in label_names.items()}
+        return label_names, barcode_names, layout
 
-    return label_names, barcode_names, layout_maps
+    barcode_names = {None: OUTPUT_NAME_UNDETERMINED}
+    barcode_names.update(
+        (bc, OUTPUT_NAME_BARCODES.format(n=bc + 1))
+        for bc in range(config['demultiplexing']['number_of_barcodes']))
+    layout = {}
+    for label, dirname in label_names.items():
+        for bc, bcname in barcode_names.items():
+            layout[(label, bc)] = os.path.join(dirname, bcname)
+    return label_names, barcode_names, layout
 
 
 DEFAULT_OPTIONS = dict(
@@ -111,7 +124,6 @@ DEFAULT_OPTIONS = dict(
     device_batch_size=128,
     wire_precision='exact',  # 'exact' u16 | 'fast' u8 per-read affine
     pallas='auto',           # fused TPU kernels: 'auto' | 'always' | 'never'
-    use_tpu=True,
     mesh_shape=None,         # None => all local devices on a 1-D 'batch' mesh
     io_threads=2,
     # multi-host (jax.distributed): all None/1 => single host

@@ -35,13 +35,17 @@ def preferred_platform():
 
 
 def select_devices(config=None):
-    """Devices for the production data-parallel mesh: all addressable
-    devices of the preferred platform, optionally capped by the
-    ``mesh_shape`` config knob (int N => first N devices)."""
+    """Devices for the production data-parallel mesh: all LOCAL devices of
+    the preferred platform, optionally capped by the ``mesh_shape`` config
+    knob (int N => first N devices). Host-local on purpose: in a
+    multi-host world each host ingests and analyzes its own slice of the
+    reads (SURVEY.md §5.8), so batch data differs per host and the
+    compute mesh must not span processes — only the final statistics
+    reduction is global (distributed.py)."""
     try:
-        devices = jax.devices(preferred_platform())
+        devices = jax.local_devices(backend=preferred_platform())
     except RuntimeError:
-        devices = jax.devices()
+        devices = jax.local_devices()
     n = (config or {}).get('mesh_shape')
     if n:
         devices = devices[:int(n)]

@@ -146,12 +146,7 @@ class ShardedEngine:
         qparams = np.zeros((D, R, 2), np.float32)
         qparams[:, :, 1] = 1.0
         for d in range(D):
-            off = 0
-            for r, chunk in enumerate(chunks[d]):
-                q, lo, step = eng._quantize_affine(chunk, qmax)
-                qparams[d, r] = (lo, step)
-                flat[d, off:off + len(chunk)] = q.astype(dtype)
-                off += len(chunk)
+            eng._quantize_stream(chunks[d], flat[d], qparams[d], qmax)
         return (flat, meta, qparams), n
 
     def dispatch_stage1_flat(self, wire):

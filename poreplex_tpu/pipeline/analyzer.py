@@ -454,17 +454,17 @@ class BatchAnalyzer:
                 'status': 'unknown_error', 'error_message': errmsg}
 
 
-_ANALYZER_CACHE = {}
+# the live analyzer and a strong reference to the exact config object it
+# was built from — identity comparison against a held reference cannot be
+# fooled by id() reuse after garbage collection
+_ANALYZER_CACHE = {'config': None, 'analyzer': None}
 
 
 def get_analyzer(config):
-    key = id(config)
-    analyzer = _ANALYZER_CACHE.get(key)
-    if analyzer is None:
-        analyzer = BatchAnalyzer(config)
-        _ANALYZER_CACHE.clear()
-        _ANALYZER_CACHE[key] = analyzer
-    return analyzer
+    if _ANALYZER_CACHE['config'] is not config:
+        _ANALYZER_CACHE['analyzer'] = BatchAnalyzer(config)
+        _ANALYZER_CACHE['config'] = config
+    return _ANALYZER_CACHE['analyzer']
 
 
 def load_batch(reads, config):

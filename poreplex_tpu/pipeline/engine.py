@@ -229,6 +229,40 @@ class DeviceEngine:
         q = np.clip(np.round((values - lo) / step), 0, qmax)
         return q, lo, step
 
+    @staticmethod
+    def _quantize_stream(chunks, flat, qparams, qmax):
+        """Batched per-read affine quantization of ``chunks`` (list of 1-D
+        f32 arrays) laid end-to-end into ``flat`` from offset 0, with the
+        (lo, step) affine of chunk i written to ``qparams[i]``. One
+        vectorized pass over the concatenated stream (the per-read Python
+        loop this replaces was the r02 stage-1 regression); numerics match
+        _quantize_affine chunk-for-chunk. Returns total samples written."""
+        if not chunks:
+            return 0
+        lens = np.fromiter((len(c) for c in chunks), np.int64, len(chunks))
+        total = int(lens.sum())
+        if total == 0:
+            qparams[:len(chunks)] = (0.0, 1e-7)
+            return 0
+        stream = np.concatenate(chunks) if len(chunks) > 1 else \
+            np.asarray(chunks[0], np.float32)
+        offsets = np.zeros(len(chunks), np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nz = lens > 0
+        lo = np.zeros(len(chunks), np.float64)
+        hi = np.zeros(len(chunks), np.float64)
+        lo[nz] = np.minimum.reduceat(stream, offsets[nz])
+        hi[nz] = np.maximum.reduceat(stream, offsets[nz])
+        step = np.maximum((hi - lo) / qmax, 1e-7)
+        qparams[:len(chunks), 0] = lo
+        qparams[:len(chunks), 1] = step
+        # f32 arithmetic exactly as the scalar path (weak scalar promotion)
+        rep_lo = np.repeat(lo, lens).astype(np.float32)
+        rep_step = np.repeat(step, lens).astype(np.float32)
+        q = np.clip(np.round((stream - rep_lo) / rep_step), 0, qmax)
+        flat[:total] = q.astype(flat.dtype)
+        return total
+
     def _stage1_packed_impl(self, packed, qparams):
         """packed: [B, wire_frames + 3] u16
         (quantized pooled | head_len | head_valid | pooled_len);
@@ -379,11 +413,7 @@ class DeviceEngine:
         flat = np.zeros(size, dtype)
         qparams = np.zeros((B, 2), np.float32)
         qparams[:, 1] = 1.0
-        for i, chunk in enumerate(chunks):
-            q, lo, step = self._quantize_affine(chunk, qmax)
-            qparams[i] = (lo, step)
-            off = meta[i, 0]
-            flat[off:off + len(chunk)] = q.astype(dtype)
+        self._quantize_stream(chunks, flat, qparams, qmax)
         return (flat, meta, qparams), n
 
     def dispatch_stage1_flat(self, wire):

@@ -17,6 +17,12 @@ from scipy.signal import medfilt
 
 from ..ops import event_detection as ed_ops
 from ..ops import polya_dp as dp_ops
+from ..utils.profiling import trace
+
+# compiled-shape keys already seen by ed/dp dispatches in this process;
+# first-time shapes are timed separately so steady-state stage times are
+# distinguishable from XLA compilation
+_SEEN_SHAPES = set()
 
 _BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536, 131072)
 
@@ -105,7 +111,8 @@ class PolyaAnalyzer:
         task.adapter_end = task.rough_begin * stride - insp_begin
         sig = raw[insp_begin:insp_end]
         if self.median_pre_filter > 1:
-            sig = medfilt(sig, self.median_pre_filter)
+            with trace('C:polya/medfilt'):
+                sig = medfilt(sig, self.median_pre_filter)
         task.signal = np.asarray(sig, np.float32)
 
     def _detect_events_batched(self, tasks):
@@ -121,31 +128,37 @@ class PolyaAnalyzer:
         from ..parallel.sharding import shard_batch_arrays
         rows = self.batch_rows
         launches = []
-        for blen, group in sorted(by_bucket.items()):
-            for lo in range(0, len(group), rows):
-                chunk = group[lo:lo + rows]
-                x = np.zeros((rows, blen), np.float32)
-                lens = np.zeros(rows, np.int32)
-                for i, t in enumerate(chunk):
-                    x[i, :len(t.signal)] = t.signal
-                    lens[i] = len(t.signal)
-                x, lens = shard_batch_arrays(self.sharding, self.n_devices,
-                                             x, lens)
-                out = ed_ops.detect_events(
-                    x, lens,
-                    window_length1=ed['window_length1'],
-                    window_length2=ed['window_length2'],
-                    threshold1=float(ed['threshold1']),
-                    threshold2=float(ed['threshold2']),
-                    peak_height=float(ed['peak_height']),
-                    use_pallas=self.use_pallas)
-                launches.append((chunk, out))
-        for chunk, out in launches:
-            starts = np.asarray(out['start'])
-            lengths = np.asarray(out['length'])
-            means = np.asarray(out['mean'])
-            stdvs = np.asarray(out['stdv'])
-            nev = np.asarray(out['n_events'])
+        with trace('C:polya/ed_dispatch'):
+            for blen, group in sorted(by_bucket.items()):
+                for lo in range(0, len(group), rows):
+                    chunk = group[lo:lo + rows]
+                    x = np.zeros((rows, blen), np.float32)
+                    lens = np.zeros(rows, np.int32)
+                    for i, t in enumerate(chunk):
+                        x[i, :len(t.signal)] = t.signal
+                        lens[i] = len(t.signal)
+                    x, lens = shard_batch_arrays(self.sharding,
+                                                 self.n_devices, x, lens)
+                    out = ed_ops.detect_events(
+                        x, lens,
+                        window_length1=ed['window_length1'],
+                        window_length2=ed['window_length2'],
+                        threshold1=float(ed['threshold1']),
+                        threshold2=float(ed['threshold2']),
+                        peak_height=float(ed['peak_height']),
+                        use_pallas=self.use_pallas)
+                    launches.append((chunk, blen, out))
+        for chunk, blen, out in launches:
+            key = ('ed', rows, blen)
+            stage = ('C:polya/ed_await' if key in _SEEN_SHAPES
+                     else 'C:polya/ed_compile')
+            _SEEN_SHAPES.add(key)
+            with trace(stage):
+                starts = np.asarray(out['start'])
+                lengths = np.asarray(out['length'])
+                means = np.asarray(out['mean'])
+                stdvs = np.asarray(out['stdv'])
+                nev = np.asarray(out['n_events'])
             for i, t in enumerate(chunk):
                 n = int(nev[i])
                 t.events = {
@@ -184,7 +197,12 @@ class PolyaAnalyzer:
                 ip, ln, n,
                 spike_weight=float(self.spike_weight),
                 spike_tolerance=int(self.spike_tolerance))
-            s, e, v = np.asarray(s), np.asarray(e), np.asarray(v)
+            key = ('dp', rows, kmax)
+            stage = ('C:polya/dp_await' if key in _SEEN_SHAPES
+                     else 'C:polya/dp_compile')
+            _SEEN_SHAPES.add(key)
+            with trace(stage):
+                s, e, v = np.asarray(s), np.asarray(e), np.asarray(v)
             results.extend(
                 (int(s[i]), int(e[i])) if v[i] > 0 else None
                 for i in range(len(chunk)))
@@ -192,8 +210,9 @@ class PolyaAnalyzer:
 
     # ------------------------------------------------------------------
     def _run_round(self, tasks, stride):
-        for t in tasks:
-            self._build_window(t, stride)
+        with trace('C:polya/window_build'):
+            for t in tasks:
+                self._build_window(t, stride)
         self._detect_events_batched(tasks)
         for t in tasks:
             rng = t.polya_range or self.polya_mean_cutoff

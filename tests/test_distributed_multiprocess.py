@@ -61,6 +61,69 @@ def test_two_process_merge_final_counts(tmp_path):
     assert sum(counts.values()) == 5
 
 
+def _make_session_fixtures(indir, n_files=2, reads_per_file=16, seed=42):
+    import numpy as np
+    from poreplex_tpu import simulate
+    rng = np.random.RandomState(seed)
+    total = 0
+    for fileno in range(n_files):
+        reads = [simulate.simulate_read(
+                     rng,
+                     transcript_len=int(rng.uniform(4000, 9000)),
+                     polya_len=int(rng.uniform(900, 2000)),
+                     adapter_len=int(rng.uniform(4200, 6000)))
+                 for _ in range(reads_per_file)]
+        simulate.write_multi_read_fast5(
+            os.path.join(indir, 'batch{:02d}.fast5'.format(fileno)), reads)
+        total += len(reads)
+    return total
+
+
+def _run_session_workers(tmp_path, indir, nprocs, port, tag):
+    """Launch ``nprocs`` full-session workers over one fixture dir; returns
+    their parsed JSON payloads ordered by rank."""
+    WORKER_SESSION = os.path.join(TESTS_DIR, 'dist_session_worker.py')
+    env = _scrubbed_env()
+    procs, outs = [], []
+    for rank in range(nprocs):
+        outdir = tmp_path / '{}-out-{}'.format(tag, rank)
+        outdir.mkdir()
+        result = str(tmp_path / '{}-result-{}.json'.format(tag, rank))
+        outs.append(result)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER_SESSION, str(rank), str(nprocs),
+             str(port), indir, str(outdir), result],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=600)
+        assert p.returncode == 0, stderr.decode()[-3000:]
+    return [json.load(open(out)) for out in outs]
+
+
+def test_two_process_full_session(tmp_path):
+    """The whole multi-host story under a real 2-process world: two
+    ProcessingSession.run()s over one fixture directory must (a) admit
+    disjoint read slices whose union is the complete set
+    (session.queue_processing ownership gate) and (b) produce a host-0
+    merged count matrix identical to a single-host run of the same
+    fixtures (end-of-run merge_final_counts collective)."""
+    indir = str(tmp_path / 'fast5')
+    os.makedirs(indir)
+    n_reads = _make_session_fixtures(indir)
+
+    two = _run_session_workers(tmp_path, indir, 2, _free_port(), 'dist')
+    manifests = [set(map(tuple, payload['manifest'])) for payload in two]
+    assert manifests[0] and manifests[1]        # both hosts did real work
+    assert not (manifests[0] & manifests[1])    # disjoint admission
+    assert len(manifests[0] | manifests[1]) == n_reads
+
+    single = _run_session_workers(tmp_path, indir, 1, _free_port(), 'solo')
+    assert set(map(tuple, single[0]['manifest'])) == \
+        manifests[0] | manifests[1]
+    assert two[0]['merged_counts'] == single[0]['merged_counts']
+    assert sum(v for _, v in two[0]['merged_counts']) == n_reads
+
+
 def test_owns_entry_partitions_and_is_stable():
     entries = [('dir/f{}.fast5'.format(i), 'read-{}'.format(i))
                for i in range(200)]

@@ -45,29 +45,60 @@ def test_calibration_table_small_data_fallback():
 
 
 def test_calibration_table_inverts_known_error_curve():
-    """Multiscale procedure (role of training/barcodes/scripts/
-    compute_score_calibration_table.py): with error(score) = 1 - score, the
-    table must approximately solve score(phred) = 1 - 10^(-phred/10), and
-    reads above each threshold must meet the phred's error budget."""
-    from poreplex_tpu.training.calibration import build_calibration_table
+    """Multiscale procedure pinned against the reference script's math
+    (training/barcodes/scripts/compute_score_calibration_table.py:122-158):
+
+    * phreds in the extrapolated range (phred <= -10*log10(score_lo), the
+      reference's own boundary formula) must come off the linear fit
+      through the lowest EXTRAPOLATION_SUPPORT_POINTS windows;
+    * phreds whose target error rate falls inside the sampled error range
+      must invert error(score) = 1 - score to score = 1 - 10^(-phred/10)
+      (the loess stand-in's accuracy guarantee);
+    * every populated threshold must meet the phred's error budget.
+
+    Scores are concentrated near 1.0 like real softmax outputs (the
+    committed reference table maps phred 28 <-> score 0.99901)."""
+    from poreplex_tpu.training.calibration import (
+        build_calibration_table, build_multiscale_error_table,
+        EXTRAPOLATION_SUPPORT_POINTS)
     rng = np.random.RandomState(7)
     n = 60000
-    scores = 1.0 - rng.power(2.5, n)        # dense near 1.0 like real scores
+    scores = rng.power(15, n)
     correct = rng.uniform(size=n) < scores
     table = build_calibration_table(scores, correct)
 
     assert len(table) == 29
     assert (np.diff(table) >= 0).all()
     assert table[0] == 0.0
-    for phred in range(2, 29):
+
+    order = np.argsort(-scores)
+    errortbl = build_multiscale_error_table(scores[order], correct[order])
+    score_lo = errortbl[-1, 1]
+    err_hi = errortbl[-1, 0]        # error rate at the bottom of the range
+    err_lo = errortbl[0, 0]         # error rate at the top of the range
+    extrapol_phred_max = int(-np.log10(score_lo) * 10)
+    supports = errortbl[-EXTRAPOLATION_SUPPORT_POINTS:]
+    a, b = np.polyfit(supports[:, 1], supports[:, 0], 1)
+
+    interpolated_checked = 0
+    for phred in range(1, 29):
         if table[phred] >= 1.0:     # unattainable at this data size
             continue
-        expected = 1.0 - 10 ** (-phred / 10)
-        assert abs(table[phred] - expected) < 0.05, (phred, table[phred])
+        target = 10 ** (-phred / 10)
+        if phred <= extrapol_phred_max:
+            # reference extrapolation: invert error ~ a*score + b
+            expected = (target - b) / a
+            assert abs(table[phred] - expected) < 1e-9, (phred, table[phred])
+        elif err_lo <= target <= err_hi:
+            # root exists in the sampled curve: must invert 1 - score
+            expected = 1.0 - target
+            assert abs(table[phred] - expected) < 0.05, (phred, table[phred])
+            interpolated_checked += 1
         sel = scores >= table[phred]
         if sel.sum() >= 500:
             err = (~correct[sel]).mean()
-            assert err <= 1.6 * 10 ** (-phred / 10), (phred, err)
+            assert err <= 1.6 * target, (phred, err)
+    assert interpolated_checked >= 10   # the sampled range covers the bulk
 
 
 def test_train_demux_and_load(tmp_path):
