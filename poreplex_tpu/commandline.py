@@ -218,6 +218,7 @@ def main(args):
     config['wire_precision'] = args.wire_precision
     config['pallas'] = args.pallas
     config['resume'] = args.resume
+    config['prewarm'] = args.prewarm
     config['parallel'] = max(1, args.parallel)
     config['mesh_shape'] = args.mesh_shape
     config['num_nodes'] = args.num_nodes
@@ -365,6 +366,10 @@ def __main__():
                             'fixed point (lossless in practice) or "fast" '
                             'u8 per-read affine (half the upload bytes, '
                             '~0.5 pA quantization; default: exact)')
+    group.add_argument('--prewarm', default=False, action='store_true',
+                       help='compile every device-program shape before '
+                            'processing starts (keeps TPU compiles out of '
+                            'batch latency; recommended with --live)')
     group.add_argument('--tmpdir', default='', type=str, metavar='DIR',
                        help='temporary directory for intermediate data')
     group.add_argument('--batch-size', default=128, type=int, metavar='SIZE',

@@ -121,11 +121,13 @@ DEFAULT_OPTIONS = dict(
     nobasecall_stop_trigger=1000,
     # TPU-specific knobs (no reference equivalent)
     resume=False,
+    prewarm=False,           # compile all device-program shapes at startup
     device_batch_size=128,
     wire_precision='exact',  # 'exact' u16 | 'fast' u8 per-read affine
     pallas='auto',           # fused TPU kernels: 'auto' | 'always' | 'never'
     mesh_shape=None,         # None => all local devices on a 1-D 'batch' mesh
     io_threads=2,
+    compute_threads=2,       # in-flight analyzer batches (device stays fed)
     # multi-host (jax.distributed): all None/1 => single host
     num_nodes=None,
     node_rank=None,

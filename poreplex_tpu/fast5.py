@@ -20,7 +20,35 @@ import numpy as np
 import pandas as pd
 from scipy.signal import medfilt
 
-__all__ = ['get_read_ids', 'Fast5Reader', 'DuplicatedReadError']
+__all__ = ['get_read_ids', 'Fast5Reader', 'Fast5FilePool',
+           'DuplicatedReadError']
+
+
+class Fast5FilePool:
+    """Refcounted h5py.File handles: every read of a multi-read FAST5 in a
+    batch shares ONE open file instead of paying a fresh open per read
+    (the reference opened the file once per read,
+    poreplex/signal_loader.py:77-87 -> fast5_file.py:61). Not thread-safe;
+    scope one pool per ingest batch."""
+
+    def __init__(self):
+        self._files = {}    # path -> [h5py.File, refcount]
+
+    def open(self, path):
+        entry = self._files.get(path)
+        if entry is None:
+            entry = self._files[path] = [h5py.File(path, 'r'), 0]
+        entry[1] += 1
+        return entry[0]
+
+    def release(self, path):
+        entry = self._files.get(path)
+        if entry is None:
+            return
+        entry[1] -= 1
+        if entry[1] <= 0:
+            entry[0].close()
+            del self._files[path]
 
 
 class DuplicatedReadError(Exception):
@@ -52,10 +80,12 @@ class Fast5Reader:
 
     RAWSIGNAL_PREFILTER_SIZE = 5  # guppy event reconstruction only
 
-    def __init__(self, path, read_id=None):
+    def __init__(self, path, read_id=None, pool=None):
         self.path = path
         self.read_id = read_id
-        self.handle = h5py.File(path, 'r')
+        self.pool = pool
+        self.handle = pool.open(path) if pool is not None else \
+            h5py.File(path, 'r')
 
         self.is_multiread = 'UniqueGlobalKey' not in self.handle
         if self.is_multiread:
@@ -81,7 +111,10 @@ class Fast5Reader:
 
     def close(self):
         if self.handle is not None:
-            self.handle.close()
+            if self.pool is not None:
+                self.pool.release(self.path)
+            else:
+                self.handle.close()
             self.handle = None
 
     def _load_metadata(self):

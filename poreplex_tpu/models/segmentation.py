@@ -63,6 +63,7 @@ class SegmentationHMM:
         self.log_trans = jnp.asarray(log_trans, jnp.float32)
         self.nstates = nstates
         self._decode = jax.jit(self._decode_impl)
+        self._decode_paths = jax.jit(self._decode_paths_impl)
 
     def _decode_impl(self, x, lengths):
         path, logp = vit_ops.viterbi(x, lengths, self.log_start,
@@ -78,6 +79,20 @@ class SegmentationHMM:
         out = self._decode(jnp.asarray(x, jnp.float32),
                            jnp.asarray(lengths, jnp.int32))
         return tuple(np.asarray(o) for o in out)
+
+    def _decode_paths_impl(self, x, lengths):
+        path, _ = vit_ops.viterbi(x, lengths, self.log_start,
+                                  self.log_trans, self.mus, self.sigmas,
+                                  self.logws)
+        return path
+
+    def decode_paths(self, x, lengths):
+        """Viterbi paths only, as ONE device array — callers that need just
+        the state sequence (the windowed unsplit scan) pay a single
+        device-to-host transfer instead of five."""
+        return np.asarray(self._decode_paths(jnp.asarray(x, jnp.float32),
+                                             jnp.asarray(lengths,
+                                                         jnp.int32)))
 
     def segments_dict(self, first, last, present):
         """Convert one read's extents into the reference's

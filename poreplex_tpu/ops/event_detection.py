@@ -245,22 +245,11 @@ def event_stats(boundaries, n_bounds, center, cs, css, lengths):
     return starts, length, mean, stdv, n_events
 
 
-@partial(jax.jit, static_argnames=('window_length1', 'window_length2',
-                                   'threshold1', 'threshold2', 'peak_height',
-                                   'max_peaks', 'use_pallas', 'interpret'))
-def detect_events(signal, lengths, window_length1=7, window_length2=20,
-                  threshold1=3.0, threshold2=8.0, peak_height=4.0,
-                  max_peaks=1023, use_pallas=False, interpret=False):
-    """Full batched event detection.
-
-    signal: [B, T] f32 (padded), lengths: [B] i32
-    Returns dict with start [B,P+1] i32, length/mean/stdv [B,P+1] f32,
-    n_events [B] i32. ``use_pallas`` runs the sequential peak-detector
-    state machine as a fused TPU kernel (ops/pallas_event_detection)
-    instead of a lax.scan — identical emissions, ~2 orders of magnitude
-    faster on long windows; ``interpret`` additionally runs that kernel in
-    Pallas interpret mode (CPU testing).
-    """
+def detect_events_core(signal, lengths, window_length1=7, window_length2=20,
+                       threshold1=3.0, threshold2=8.0, peak_height=4.0,
+                       max_peaks=1023, use_pallas=False, interpret=False):
+    """Traceable event-detection body shared by the standalone jit below
+    and the fused poly(A) round kernel (ops.polya_round)."""
     lengths = lengths.astype(jnp.int32)
     center, cs, css = _centered_cumsums(signal, lengths)
     t1 = compute_tstat(cs, css, lengths, window_length1)
@@ -278,3 +267,26 @@ def detect_events(signal, lengths, window_length1=7, window_length2=20,
         bounds, n_bounds, center, cs, css, lengths)
     return {'start': starts, 'length': length, 'mean': mean, 'stdv': stdv,
             'n_events': n_events}
+
+
+@partial(jax.jit, static_argnames=('window_length1', 'window_length2',
+                                   'threshold1', 'threshold2', 'peak_height',
+                                   'max_peaks', 'use_pallas', 'interpret'))
+def detect_events(signal, lengths, window_length1=7, window_length2=20,
+                  threshold1=3.0, threshold2=8.0, peak_height=4.0,
+                  max_peaks=1023, use_pallas=False, interpret=False):
+    """Full batched event detection.
+
+    signal: [B, T] f32 (padded), lengths: [B] i32
+    Returns dict with start [B,P+1] i32, length/mean/stdv [B,P+1] f32,
+    n_events [B] i32. ``use_pallas`` runs the sequential peak-detector
+    state machine as a fused TPU kernel (ops/pallas_event_detection)
+    instead of a lax.scan — identical emissions, ~2 orders of magnitude
+    faster on long windows; ``interpret`` additionally runs that kernel in
+    Pallas interpret mode (CPU testing).
+    """
+    return detect_events_core(
+        signal, lengths, window_length1=window_length1,
+        window_length2=window_length2, threshold1=threshold1,
+        threshold2=threshold2, peak_height=peak_height, max_peaks=max_peaks,
+        use_pallas=use_pallas, interpret=interpret)

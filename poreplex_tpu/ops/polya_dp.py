@@ -19,15 +19,9 @@ import jax.numpy as jnp
 INT_MIN = jnp.int32(-2 ** 31 + 1)
 
 
-@partial(jax.jit, static_argnames=('spike_weight', 'spike_tolerance'))
-def find_best_polya_interval(is_polya, length, n_events, spike_weight=1.5,
-                             spike_tolerance=110):
-    """is_polya: [B, K] bool, length: [B, K] f32, n_events: [B] i32.
-
-    Returns (start [B], end [B], score [B]) — inclusive event indices of the
-    best interval; score <= 0 means "no poly(A) found"
-    (poreplex/polya.py:184-185).
-    """
+def dp_core(is_polya, length, n_events, spike_weight, spike_tolerance):
+    """Traceable column-scan DP body shared by the standalone jit below and
+    the fused poly(A) round kernel (ops.polya_round)."""
     batch, kmax = is_polya.shape
     # column scores with trunc-toward-zero int conversion
     col_match = jnp.where(is_polya, length, -spike_weight * length)
@@ -78,3 +72,15 @@ def find_best_polya_interval(is_polya, length, n_events, spike_weight=1.5,
     start = jnp.where(found, best_i, 0)
     end = jnp.where(found, best_j, 0)
     return start, end, jnp.where(found, best_val, 0)
+
+
+@partial(jax.jit, static_argnames=('spike_weight', 'spike_tolerance'))
+def find_best_polya_interval(is_polya, length, n_events, spike_weight=1.5,
+                             spike_tolerance=110):
+    """is_polya: [B, K] bool, length: [B, K] f32, n_events: [B] i32.
+
+    Returns (start [B], end [B], score [B]) — inclusive event indices of the
+    best interval; score <= 0 means "no poly(A) found"
+    (poreplex/polya.py:184-185).
+    """
+    return dp_core(is_polya, length, n_events, spike_weight, spike_tolerance)

@@ -164,3 +164,14 @@ class ShardedEngine:
         arr = np.asarray(handle)                       # [D, R, C]
         rows = arr.transpose(1, 0, 2).reshape(-1, arr.shape[2])
         return self.engine._unpack_stage1(rows)
+
+    def warmup(self):
+        """Compile the sharded token-packed stage-1 program for every
+        per-device flat size up front (mirrors DeviceEngine.warmup)."""
+        D, R = self.n_devices, self.rows_per_dev
+        dtype = np.uint8 if self.engine.wire_fast else np.uint16
+        for size in self.flat_sizes_dev:
+            wire = (np.zeros((D, size), dtype),
+                    np.zeros((D, R, 4), np.int32),
+                    np.ones((D, R, 2), np.float32))
+            self.collect_stage1_flat(self.dispatch_stage1_flat(wire))

@@ -99,6 +99,22 @@ class BatchAnalyzer:
             self.demux_threshold = self.engine.demux.score_threshold(
                 config['barcoding_quality_filter'])
 
+        if config.get('prewarm'):
+            self.warmup()
+
+    def warmup(self):
+        """Compile every device-program shape the session can hit (stage-1
+        flat sizes, poly(A) fused-round buckets, recalibration-DP shapes,
+        unsplit event buckets) before the first batch. TPU compiles cost
+        seconds to minutes; without this they land inside batch latency on
+        first contact with each shape."""
+        with trace('warmup'):
+            self.stage1.warmup()
+            if self.polya_analyzer is not None:
+                self.polya_analyzer.warmup()
+            if self.unsplit_detector is not None:
+                self.unsplit_detector.warmup()
+
     # ------------------------------------------------------------------
     def load_batch(self, reads):
         """PHASE A only (host FAST5 ingest); safe to run on an I/O thread
@@ -256,10 +272,16 @@ class BatchAnalyzer:
             results.append(rec.report())
             rec.clear_cache()
             rec.scaled_raw = None
+            if rec.fast5 is not None:
+                rec.fast5.close()
+                rec.fast5 = None
         return results, aux
 
     # ------------------------------------------------------------------
     def _phase_a(self, reads, results, records):
+        # all reads of one multi-read file in this batch share one open
+        # h5py handle (refcounted; released as each record closes)
+        pool = fast5.Fast5FilePool()
         for f5file, read_id in reads:
             if not os.path.exists(os.path.join(self.inputdir, f5file)):
                 results.append({'filename': f5file, 'read_id': read_id,
@@ -267,7 +289,7 @@ class BatchAnalyzer:
                 continue
             rec = ReadRecord(f5file, self.inputdir, read_id)
             try:
-                self._load_read(rec)
+                self._load_read(rec, pool)
             except Exception as exc:
                 results.append(self._pack_unhandled_exception(
                     f5file, read_id, exc))
@@ -278,9 +300,9 @@ class BatchAnalyzer:
                 records.append(rec)
 
     # ------------------------------------------------------------------
-    def _load_read(self, rec):
+    def _load_read(self, rec, pool=None):
         try:
-            f5 = fast5.Fast5Reader(rec.fullpath, rec.read_id)
+            f5 = fast5.Fast5Reader(rec.fullpath, rec.read_id, pool=pool)
         except Exception:
             traceback.print_exc()
             rec.set_status('irregular_fast5', stop=True)

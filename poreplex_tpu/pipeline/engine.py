@@ -104,13 +104,16 @@ class DeviceEngine:
         self.wire_precision = config.get('wire_precision', 'exact')
         self.wire_fast = self.wire_precision == 'fast'
 
-        # token-packed wire sizes: reads are concatenated end-to-end so the
-        # upload pays for actual frames, not [B, seg_frames] padding; a few
-        # quantized buffer sizes keep the number of compiled shapes small.
+        # token-packed wire size: reads are concatenated end-to-end so the
+        # upload pays for actual frames, not [B, seg_frames] padding. ONE
+        # fixed buffer size: the fused stage-1 program costs minutes to
+        # compile on a tunnel-attached TPU, so every extra compiled shape
+        # hurts far more than the <=2 MB of u16 zero-padding a fixed-size
+        # wire can carry.
         B = int(config.get('device_batch_size', 128))
         self.batch_rows = B
         base = max(self.wire_frames + 1, 1664)
-        self.flat_sizes = sorted({B * base // 3, 2 * B * base // 3, B * base})
+        self.flat_sizes = [B * base]
 
     def _apply_platform(self, platform):
         self.platform = platform
@@ -436,3 +439,15 @@ class DeviceEngine:
 
     def segments_for_read(self, first, last, present):
         return self.segmodel.segments_dict(first, last, present)
+
+    def warmup(self):
+        """Compile the token-packed stage-1 program for every flat wire
+        size up front. Each fused stage-1 compile costs tens of seconds on
+        a TPU (the unrolled LSTM scans dominate); paying them before the
+        first batch keeps them out of session latency."""
+        dtype = np.uint8 if self.wire_fast else np.uint16
+        for size in self.flat_sizes:
+            wire = (np.zeros(size, dtype),
+                    np.zeros((self.batch_rows, 4), np.int32),
+                    np.ones((self.batch_rows, 2), np.float32))
+            self.collect_stage1(self.dispatch_stage1_flat(wire))

@@ -3,28 +3,34 @@ kernels.
 
 Faithful re-orchestration of the reference's recursive per-read analyzer
 (poreplex/polya.py:30-187) as wavefront rounds over a whole batch: every
-active read contributes a signal window; event detection runs as ONE
-batched device call (ops.event_detection); the interval DP runs as batched
-device calls (ops.polya_dp); and the bounded extension/recalibration
-decisions advance each read's state machine on the host. Numeric semantics
-(window arithmetic, integer truncation, spike bookkeeping, stdv QC,
-shifted-signal recalibration) match the reference exactly.
+active read contributes a signal window; event detection + tail marking +
+the interval DP run fused as ONE batched device call per window bucket
+(ops.polya_round — one upload, one launch, one packed download), and the
+bounded extension/recalibration decisions advance each read's state machine
+on the host (a recalibrated range triggers a standalone DP re-run,
+ops.polya_dp). The median pre-filter runs vectorized over the whole batch.
+Numeric semantics (window arithmetic, integer truncation, spike
+bookkeeping, stdv QC, shifted-signal recalibration) match the reference
+exactly.
 """
 
 import numpy as np
-import jax.numpy as jnp
-from scipy.signal import medfilt
+from numpy.lib.stride_tricks import sliding_window_view
 
-from ..ops import event_detection as ed_ops
 from ..ops import polya_dp as dp_ops
+from ..ops import polya_round as round_ops
 from ..utils.profiling import trace
 
-# compiled-shape keys already seen by ed/dp dispatches in this process;
+# compiled-shape keys already seen by round/dp dispatches in this process;
 # first-time shapes are timed separately so steady-state stage times are
 # distinguishable from XLA compilation
 _SEEN_SHAPES = set()
 
 _BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536, 131072)
+
+# cap on rows * window elements per dispatch: bounds both the padded wire
+# upload (4 MB f32) and the peak-detector scan length per launch
+_MAX_DISPATCH_ELEMS = 1 << 20
 
 
 def _bucket_len(n):
@@ -37,7 +43,8 @@ def _bucket_len(n):
 class _Task:
     __slots__ = ('read', 'rough_begin', 'rough_end', 'orig_end_none',
                  'polya_range', 'depth', 'events', 'is_polya', 'signal',
-                 'insp_begin', 'insp_end', 'full_length', 'adapter_end')
+                 'insp_begin', 'insp_end', 'full_length', 'adapter_end',
+                 'fused_interval')
 
     def __init__(self, read, rough_begin, rough_end, polya_range, depth):
         self.read = read
@@ -68,10 +75,13 @@ class PolyaAnalyzer:
         self.n_devices = n_devices
         # fused TPU peak-detector kernel (ops/pallas_event_detection)
         self.use_pallas = use_pallas
-        # device dispatches always carry this many rows: task-count changes
-        # between batches/rounds must not trigger XLA recompiles (only the
-        # window-length bucket may vary the compiled shape)
+        # device dispatches carry a fixed row count per window bucket:
+        # task-count changes between batches/rounds must not trigger XLA
+        # recompiles (only the window-length bucket may vary the compiled
+        # shape); long-window buckets get proportionally fewer rows so a
+        # single dispatch stays bounded (_MAX_DISPATCH_ELEMS)
         self.batch_rows = max(int(batch_rows), n_devices)
+        self.max_peaks = 1023
 
         mean_loc, mean_scale = config['polya_mean_dist']
         self.polya_mean_cutoff = (
@@ -110,65 +120,124 @@ class PolyaAnalyzer:
         task.full_length = len(raw)
         task.adapter_end = task.rough_begin * stride - insp_begin
         sig = raw[insp_begin:insp_end]
-        if self.median_pre_filter > 1:
-            with trace('C:polya/medfilt'):
-                sig = medfilt(sig, self.median_pre_filter)
         task.signal = np.asarray(sig, np.float32)
 
-    def _detect_events_batched(self, tasks):
-        """Bucketed batched device event detection over task windows.
-        Every dispatch carries exactly ``batch_rows`` rows (groups larger
-        than that are chunked), so the only compiled-shape axis is the
-        window-length bucket; all chunks are dispatched before any result
-        is awaited, overlapping uploads with device compute."""
+    def _rows_for(self, blen):
+        """Fixed row count of a device dispatch in the ``blen`` window
+        bucket (one compiled shape per bucket)."""
+        rows = min(self.batch_rows, max(8, _MAX_DISPATCH_ELEMS // blen))
+        # sharded kernels split rows across devices evenly
+        return -(-rows // self.n_devices) * self.n_devices
+
+    def _medfilt_tasks(self, tasks):
+        """Vectorized zero-padded median pre-filter over all task windows
+        (exact scipy.signal.medfilt semantics — the per-read scipy calls
+        this replaces were pure host serial time). Tasks are grouped by
+        window bucket and chunked so the scratch stays small."""
+        k = self.median_pre_filter
+        h = k // 2
+        groups = {}
+        for t in tasks:
+            groups.setdefault(_bucket_len(len(t.signal)), []).append(t)
+        for blen, group in groups.items():
+            step = max(1, _MAX_DISPATCH_ELEMS // blen)
+            for lo in range(0, len(group), step):
+                chunk = group[lo:lo + step]
+                buf = np.zeros((len(chunk), blen + 2 * h), np.float32)
+                for i, t in enumerate(chunk):
+                    buf[i, h:h + len(t.signal)] = t.signal
+                med = np.median(sliding_window_view(buf, k, axis=1), axis=2)
+                for i, t in enumerate(chunk):
+                    t.signal = np.ascontiguousarray(med[i, :len(t.signal)],
+                                                    np.float32)
+
+    def _fused_round_batched(self, tasks):
+        """One fused device call per (window bucket, row chunk): event
+        detection + per-read tail marking + interval DP, downloaded as one
+        packed array (ops.polya_round). All chunks are dispatched before
+        any result is awaited, overlapping uploads with device compute.
+        Fills t.events, t.is_polya and t.fused_interval."""
         ed = self.event_detection
         by_bucket = {}
         for t in tasks:
             by_bucket.setdefault(_bucket_len(len(t.signal)), []).append(t)
         from ..parallel.sharding import shard_batch_arrays
-        rows = self.batch_rows
         launches = []
-        with trace('C:polya/ed_dispatch'):
+        with trace('C:polya/dispatch'):
             for blen, group in sorted(by_bucket.items()):
+                rows = self._rows_for(blen)
                 for lo in range(0, len(group), rows):
                     chunk = group[lo:lo + rows]
                     x = np.zeros((rows, blen), np.float32)
                     lens = np.zeros(rows, np.int32)
+                    rlo = np.zeros(rows, np.float32)
+                    rhi = np.zeros(rows, np.float32)
                     for i, t in enumerate(chunk):
                         x[i, :len(t.signal)] = t.signal
                         lens[i] = len(t.signal)
-                    x, lens = shard_batch_arrays(self.sharding,
-                                                 self.n_devices, x, lens)
-                    out = ed_ops.detect_events(
-                        x, lens,
+                        rng = t.polya_range or self.polya_mean_cutoff
+                        rlo[i], rhi[i] = rng
+                    x, lens, rlo, rhi = shard_batch_arrays(
+                        self.sharding, self.n_devices, x, lens, rlo, rhi)
+                    out = round_ops.polya_round(
+                        x, lens, rlo, rhi,
                         window_length1=ed['window_length1'],
                         window_length2=ed['window_length2'],
                         threshold1=float(ed['threshold1']),
                         threshold2=float(ed['threshold2']),
                         peak_height=float(ed['peak_height']),
+                        max_peaks=self.max_peaks,
+                        spike_weight=float(self.spike_weight),
+                        spike_tolerance=int(self.spike_tolerance),
                         use_pallas=self.use_pallas)
-                    launches.append((chunk, blen, out))
-        for chunk, blen, out in launches:
-            key = ('ed', rows, blen)
-            stage = ('C:polya/ed_await' if key in _SEEN_SHAPES
-                     else 'C:polya/ed_compile')
+                    launches.append((chunk, blen, rows, out))
+        for chunk, blen, rows, out in launches:
+            key = ('round', rows, blen)
+            stage = ('C:polya/await' if key in _SEEN_SHAPES
+                     else 'C:polya/compile')
             _SEEN_SHAPES.add(key)
             with trace(stage):
-                starts = np.asarray(out['start'])
-                lengths = np.asarray(out['length'])
-                means = np.asarray(out['mean'])
-                stdvs = np.asarray(out['stdv'])
-                nev = np.asarray(out['n_events'])
+                arr = np.asarray(out)
+            start, length, mean, stdv, nev, s, e, v = \
+                round_ops.unpack_round_output(arr, self.max_peaks)
             for i, t in enumerate(chunk):
                 n = int(nev[i])
                 t.events = {
-                    'start': starts[i, :n].astype(np.int64),
-                    'length': lengths[i, :n],
-                    'mean': means[i, :n],
-                    'stdv': stdvs[i, :n],
+                    'start': start[i, :n],
+                    'length': length[i, :n],
+                    'mean': mean[i, :n],
+                    'stdv': stdv[i, :n],
                 }
                 t.events['end'] = (t.events['start'] +
                                    t.events['length']).astype(np.int64)
+                # host-side mask from the downloaded f32 means: the same
+                # comparison the kernel ran, bit-identically
+                rng = t.polya_range or self.polya_mean_cutoff
+                m = t.events['mean']
+                t.is_polya = (m >= rng[0]) & (m <= rng[1])
+                t.fused_interval = ((int(s[i]), int(e[i]))
+                                    if v[i] > 0 else None)
+
+    def warmup(self):
+        """Compile every fused-round shape and the recalibration-DP shapes
+        before the first real batch; otherwise each new shape's compile
+        lands inside batch latency (seconds each over a TPU tunnel)."""
+        for blen in _BUCKETS:
+            t = _Task(None, 0, 1, None, 0)
+            t.signal = np.zeros(blen, np.float32)
+            self._fused_round_batched([t])
+        from ..parallel.sharding import shard_batch_arrays
+        rows = self.batch_rows
+        for kmax in (64, 128, 256, 512, 1024):
+            ip, ln, n = shard_batch_arrays(
+                self.sharding, self.n_devices,
+                np.zeros((rows, kmax), bool), np.zeros((rows, kmax),
+                                                       np.float32),
+                np.zeros(rows, np.int32))
+            s, e, v = dp_ops.find_best_polya_interval(
+                ip, ln, n, spike_weight=float(self.spike_weight),
+                spike_tolerance=int(self.spike_tolerance))
+            np.asarray(v)
 
     def _dp_wave(self, tasks):
         """Run the interval DP for all tasks in padded fixed-row device
@@ -213,19 +282,17 @@ class PolyaAnalyzer:
         with trace('C:polya/window_build'):
             for t in tasks:
                 self._build_window(t, stride)
-        self._detect_events_batched(tasks)
-        for t in tasks:
-            rng = t.polya_range or self.polya_mean_cutoff
-            m = t.events['mean']
-            t.is_polya = (m >= rng[0]) & (m <= rng[1])
+        if self.median_pre_filter > 1:
+            with trace('C:polya/medfilt'):
+                self._medfilt_tasks(tasks)
+        self._fused_round_batched(tasks)
 
         next_tasks = []
         call_tasks = [t for t in tasks if not t.orig_end_none]
         recal_tasks = [t for t in tasks if t.orig_end_none]
 
-        intervals = self._dp_wave(call_tasks)
-        for t, interval in zip(call_tasks, intervals):
-            outcome = self._call_polya(t, interval, stride)
+        for t in call_tasks:
+            outcome = self._call_polya(t, t.fused_interval, stride)
             if outcome == 'extend':
                 next_tasks.append(self._extension_task(t, stride))
             elif outcome == 'recalibrate':

@@ -69,7 +69,13 @@ class ProcessingSession:
             logger.info('Distributed session: host %d of %d',
                         self.dist_rank, self.dist_size)
 
-        self.executor_compute = ThreadPoolExecutor(1)
+        # >1 compute thread keeps the device fed while another batch's
+        # host-side phases (poly(A) wavefront rounds, event tables, unsplit
+        # analysis) wait on transfers — batches may then complete out of
+        # order, which matches the reference's own N-process pool behavior
+        # (poreplex/pipeline.py:96); all writers take per-writer locks
+        self.executor_compute = ThreadPoolExecutor(
+            max(1, config.get('compute_threads', 2)))
         self.executor_io = ThreadPoolExecutor(config.get('io_threads', 2))
         # ingest threads: the poreplex `-p/--parallel` knob
         # (poreplex/pipeline.py:96) maps to host-side FAST5 ingest here —

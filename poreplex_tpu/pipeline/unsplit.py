@@ -60,20 +60,33 @@ class UnsplitReadDetector:
             windows.append(sel)
         return payload_start, windows
 
+    # event-count buckets for the padded Viterbi shape: coarse on purpose —
+    # the decode cost is tiny next to a compile, so three compiled shapes
+    # cover everything (larger counts snap to the next power of two)
+    EVENT_BUCKETS = (16, 128, 1024)
+
+    @classmethod
+    def _event_bucket(cls, n):
+        for b in cls.EVENT_BUCKETS:
+            if n <= b:
+                return b
+        return 1 << (n - 1).bit_length()
+
     # ------------------------------------------------------------------
     def decode_windows_batched(self, jobs):
         """jobs: list of (read, window_index_array). Runs padded fixed-row
         device Viterbi calls over all windows (compiled shape varies only
-        with the event-count bucket); returns list of state paths."""
+        with the event-count bucket). All chunks are dispatched before any
+        path array is awaited, and only the path crosses back (one
+        transfer per chunk); returns list of state paths."""
         if not jobs:
             return []
         from ..parallel.sharding import shard_batch_arrays
         rows = self.batch_rows
-        paths = []
+        launches = []
         for lo in range(0, len(jobs), rows):
             chunk = jobs[lo:lo + rows]
-            emax = max(len(sel) for _, sel in chunk)
-            emax = max(8, 1 << (emax - 1).bit_length())
+            emax = self._event_bucket(max(len(sel) for _, sel in chunk))
             x = np.zeros((rows, emax), np.float32)
             lens = np.zeros(rows, np.int32)
             for i, (read, sel) in enumerate(chunk):
@@ -82,9 +95,22 @@ class UnsplitReadDetector:
                 lens[i] = len(sel)
             xs, ls = shard_batch_arrays(self.sharding, self.n_devices,
                                         x, lens)
-            path, logp, first, last, present = self.model.decode(xs, ls)
-            paths.extend(path[i, :lens[i]] for i in range(len(chunk)))
+            launches.append((len(chunk), lens, self.model._decode_paths(xs, ls)))
+        paths = []
+        for used, lens, handle in launches:
+            path = np.asarray(handle)
+            paths.extend(path[i, :lens[i]] for i in range(used))
         return paths
+
+    def warmup(self):
+        """Compile the padded Viterbi for every event bucket up front."""
+        from ..parallel.sharding import shard_batch_arrays
+        for emax in self.EVENT_BUCKETS:
+            xs, ls = shard_batch_arrays(
+                self.sharding, self.n_devices,
+                np.zeros((self.batch_rows, emax), np.float32),
+                np.zeros(self.batch_rows, np.int32))
+            np.asarray(self.model._decode_paths(xs, ls))
 
     # ------------------------------------------------------------------
     def analyze_read(self, read, payload_start, windows, paths):

@@ -23,18 +23,20 @@ def ensure_dir_exists(filepath):
 
 
 def enable_compile_cache():
-    """Persist XLA compilations across runs: the per-shape kernel compiles
-    (stage-1 wire sizes, poly(A) window buckets, unsplit event buckets)
-    cost seconds each on TPU and are pure functions of the preset — pay
-    them once per machine, not once per run. No-op when a cache directory
-    is already configured (e.g. by the driver entry) or on failure."""
+    """Persist XLA compilations across runs ONLY when explicitly requested
+    via POREPLEX_TPU_COMPILE_CACHE=<dir>. Default is OFF: on a
+    tunnel-attached TPU the persistent cache makes every compile several
+    times SLOWER (fresh-shape stage-1 compiles observed at 97-160s with
+    the cache vs tens of seconds without; the serialization round-trips
+    through the tunnel) and repeat processes were never observed to hit.
+    No-op when a cache directory is already configured by the caller."""
+    cache_dir = os.environ.get('POREPLEX_TPU_COMPILE_CACHE')
+    if not cache_dir or cache_dir.lower() in ('off', '0', 'none'):
+        return
     import jax
     try:
         if jax.config.jax_compilation_cache_dir:
             return
-        cache_dir = os.environ.get('POREPLEX_TPU_COMPILE_CACHE') or \
-            os.path.join(os.path.expanduser('~'), '.cache', 'poreplex-tpu',
-                         'xla-cache')
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:

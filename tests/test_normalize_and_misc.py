@@ -204,3 +204,26 @@ def test_dashboard_snapshot_state():
     state = view.snapshot_state()
     assert state['rate_label'] == 'mapped'
     assert state['rate_fraction'] == pytest.approx(2 / 3)
+
+
+def test_kmer_model_loader_contract():
+    """The kmer table loads through the exact production path
+    (pd.read_csv(sep='\t', index_col=0) + len(index[0]), mirroring
+    poreplex/worker_persistence.py:64-66) and satisfies the upstream
+    nanoporetech/kmer_models file contract, so the real
+    r9.4_180mv_70bps_5mer_RNA/template_median69pA.model drops in with no
+    code change (PARITY.md 'Kmer model table')."""
+    import pandas as pd
+    from poreplex_tpu.config import load_preset
+
+    config = load_preset()
+    kmermodel = pd.read_csv(config['kmer_model'], header=0, index_col=0,
+                            sep='\t')
+    kmersize = len(kmermodel.index[0])
+
+    assert kmersize == 5
+    assert len(kmermodel) == 4 ** 5            # complete 5-mer table
+    assert kmermodel.index.is_unique
+    assert set(''.join(kmermodel.index)) == set('ACGT')
+    assert 'level_mean' in kmermodel.columns   # the consumed column
+    assert kmermodel['level_mean'].between(40, 160).all()   # pA range

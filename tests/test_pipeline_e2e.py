@@ -194,6 +194,89 @@ def test_live_mode_polling_discovery(tmp_path):
         assert sess.reads_found == 1
 
 
+def test_live_mode_inotify_discovery(tmp_path, monkeypatch):
+    """The inotify branch of the live watcher (the one production live
+    mode uses when the inotify package exists) driven by an injected fake
+    inotify module: directory events and out-of-tree paths are skipped,
+    fast5 close-write events queue exactly the reads not already done
+    (role of poreplex/pipeline.py:339-368)."""
+    import asyncio
+    import sys
+    import time
+    import types
+
+    inputdir = str(tmp_path / 'livein')
+    outputdir = str(tmp_path / 'liveout')
+    os.makedirs(inputdir)
+    os.makedirs(outputdir)
+    entries = simulate.make_fixture_dir(inputdir, n_reads=2, seed=6)
+    topdir = os.path.abspath(inputdir) + '/'
+
+    IN_CLOSE_WRITE, IN_MOVED_TO = 0x8, 0x80
+    hdr = types.SimpleNamespace
+
+    class FakeInotifyTree:
+        created = []
+
+        def __init__(self, path, mask=0):
+            self.path = path
+            self.mask = mask
+            FakeInotifyTree.created.append(self)
+
+        def event_gen(self):
+            yield None                                       # heartbeat
+            yield (hdr(mask=IN_CLOSE_WRITE), ['IN_ISDIR'],
+                   topdir, 'subdir')                         # dir: skipped
+            yield (hdr(mask=IN_CLOSE_WRITE), [], '/elsewhere',
+                   'evil.fast5')                             # outside tree
+            yield (hdr(mask=IN_CLOSE_WRITE), [], topdir,
+                   'notes.txt')                              # not a fast5
+            yield (hdr(mask=IN_CLOSE_WRITE), [], topdir, entries[0][0])
+            yield (hdr(mask=IN_MOVED_TO), [], topdir, entries[1][0])
+            while True:                                      # idle heartbeat
+                time.sleep(0.05)
+                yield None
+
+    fake_pkg = types.ModuleType('inotify')
+    fake_adapters = types.ModuleType('inotify.adapters')
+    fake_adapters.InotifyTree = FakeInotifyTree
+    fake_constants = types.ModuleType('inotify.constants')
+    fake_constants.IN_CLOSE_WRITE = IN_CLOSE_WRITE
+    fake_constants.IN_MOVED_TO = IN_MOVED_TO
+    fake_pkg.adapters = fake_adapters
+    fake_pkg.constants = fake_constants
+    monkeypatch.setitem(sys.modules, 'inotify', fake_pkg)
+    monkeypatch.setitem(sys.modules, 'inotify.adapters', fake_adapters)
+    monkeypatch.setitem(sys.modules, 'inotify.constants', fake_constants)
+
+    config = build_config(inputdir, outputdir, live=True,
+                          batch_chunk_size=1000)   # accumulate, don't flush
+    logger = logging.getLogger('test-live-inotify')
+
+    with ProcessingSession(config, logger) as sess:
+        sess.reads_done.add(entries[0])     # dedup: must not re-queue
+
+        async def scenario():
+            watch = sess.loop.create_task(sess.live_watch_inputs(inputdir))
+            deadline = time.time() + 20
+            while time.time() < deadline and not sess.jobstack:
+                await asyncio.sleep(0.1)
+            watch.cancel()
+            try:
+                await watch
+            except asyncio.CancelledError:
+                pass
+        sess.loop.run_until_complete(scenario())
+        assert entries[1] in sess.jobstack
+        assert entries[0] not in sess.jobstack
+        assert sess.reads_found == 1
+        # the watch was registered on the slash-suffixed absolute root
+        # (the containment check depends on it)
+        assert FakeInotifyTree.created[0].path == topdir
+        assert FakeInotifyTree.created[0].mask == (IN_CLOSE_WRITE |
+                                                  IN_MOVED_TO)
+
+
 def test_live_snapshot_tree(tmp_path):
     (tmp_path / 'a.fast5').write_bytes(b'x')
     (tmp_path / '.hidden.fast5').write_bytes(b'x')
