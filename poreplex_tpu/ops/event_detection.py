@@ -247,9 +247,12 @@ def event_stats(boundaries, n_bounds, center, cs, css, lengths):
 
 def detect_events_core(signal, lengths, window_length1=7, window_length2=20,
                        threshold1=3.0, threshold2=8.0, peak_height=4.0,
-                       max_peaks=1023, use_pallas=False, interpret=False):
+                       max_peaks=1023, use_pallas=False, interpret=False,
+                       return_cumsums=False):
     """Traceable event-detection body shared by the standalone jit below
-    and the fused poly(A) round kernel (ops.polya_round)."""
+    and the fused poly(A) round kernel (ops.polya_round). With
+    ``return_cumsums`` the centered cumulative sums are included so
+    downstream fused stages (sub-range stdv QC) can reuse them."""
     lengths = lengths.astype(jnp.int32)
     center, cs, css = _centered_cumsums(signal, lengths)
     t1 = compute_tstat(cs, css, lengths, window_length1)
@@ -265,8 +268,11 @@ def detect_events_core(signal, lengths, window_length1=7, window_length2=20,
     bounds, n_bounds = compact_peaks(ps, pl, max_peaks)
     starts, length, mean, stdv, n_events = event_stats(
         bounds, n_bounds, center, cs, css, lengths)
-    return {'start': starts, 'length': length, 'mean': mean, 'stdv': stdv,
-            'n_events': n_events}
+    out = {'start': starts, 'length': length, 'mean': mean, 'stdv': stdv,
+           'n_events': n_events}
+    if return_cumsums:
+        out.update({'center': center, 'cs': cs, 'css': css})
+    return out
 
 
 @partial(jax.jit, static_argnames=('window_length1', 'window_length2',

@@ -1,36 +1,48 @@
-"""Poly(A) dwell-time measurement: host control flow driving batched device
-kernels.
+"""Poly(A) dwell-time measurement: host control flow driving one fused
+device call per window bucket and round.
 
 Faithful re-orchestration of the reference's recursive per-read analyzer
-(poreplex/polya.py:30-187) as wavefront rounds over a whole batch: every
-active read contributes a signal window; event detection + tail marking +
-the interval DP run fused as ONE batched device call per window bucket
-(ops.polya_round — one upload, one launch, one packed download), and the
-bounded extension/recalibration decisions advance each read's state machine
-on the host (a recalibrated range triggers a standalone DP re-run,
-ops.polya_dp). The median pre-filter runs vectorized over the whole batch.
+(poreplex/polya.py:30-187) as wavefront rounds over a whole batch. Each
+round uploads ONE token-packed f32 stream holding every active read's
+raw signal window plus a tiny [R, 5] meta table per window bucket, and
+downloads ~200 decision scalars per read — the median pre-filter, event
+detection, tail marking, interval DP, stdv QC, spike bookkeeping AND the
+shifted-signal anchor recalibration all run fused on device
+(ops.polya_round). The host replays the reference's decision lattice
+(extend / recalibrate / accept / reject) on the returned scalars and
+advances each read's state machine; event tables never cross the wire.
+
 Numeric semantics (window arithmetic, integer truncation, spike
-bookkeeping, stdv QC, shifted-signal recalibration) match the reference
-exactly.
+bookkeeping, stdv QC, shifted-signal recalibration) match the reference;
+see ops/polya_round.py for the f32-vs-f64 divergence notes.
 """
 
 import numpy as np
-from numpy.lib.stride_tricks import sliding_window_view
 
-from ..ops import polya_dp as dp_ops
 from ..ops import polya_round as round_ops
 from ..utils.profiling import trace
 
-# compiled-shape keys already seen by round/dp dispatches in this process;
+# compiled-shape keys already seen by round dispatches in this process;
 # first-time shapes are timed separately so steady-state stage times are
 # distinguishable from XLA compilation
 _SEEN_SHAPES = set()
 
-_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536, 131072)
+# window buckets and their fixed dispatch row counts: one compiled shape
+# per bucket (task-count changes between rounds must not recompile), with
+# row counts bounding a launch's padded compute area at ~2M elements.
+# Deliberately COARSE: device compute is ~0.1-0.5 ms per launch while each
+# extra compiled shape costs 5-15 s of warmup over a tunnel-attached TPU,
+# and the token-packed stream means padding costs no upload bytes.
+_BUCKETS = (8192, 131072)
+_BUCKET_ROWS = {8192: 128, 131072: 16}
 
-# cap on rows * window elements per dispatch: bounds both the padded wire
-# upload (4 MB f32) and the peak-detector scan length per launch
-_MAX_DISPATCH_ELEMS = 1 << 20
+# token-packed stream sizes (f32 elements): the shared window stream is
+# padded to the smallest fitting size so each bucket compiles against a
+# couple of stream shapes only; rounds larger than the biggest size are
+# split into multiple streams
+_STREAM_SIZES = (1 << 19, 1 << 21)
+
+_MAX_SPIKES = 16
 
 
 def _bucket_len(n):
@@ -42,9 +54,8 @@ def _bucket_len(n):
 
 class _Task:
     __slots__ = ('read', 'rough_begin', 'rough_end', 'orig_end_none',
-                 'polya_range', 'depth', 'events', 'is_polya', 'signal',
-                 'insp_begin', 'insp_end', 'full_length', 'adapter_end',
-                 'fused_interval')
+                 'polya_range', 'depth', 'signal', 'insp_begin', 'insp_end',
+                 'full_length', 'adapter_end')
 
     def __init__(self, read, rough_begin, rough_end, polya_range, depth):
         self.read = read
@@ -75,12 +86,6 @@ class PolyaAnalyzer:
         self.n_devices = n_devices
         # fused TPU peak-detector kernel (ops/pallas_event_detection)
         self.use_pallas = use_pallas
-        # device dispatches carry a fixed row count per window bucket:
-        # task-count changes between batches/rounds must not trigger XLA
-        # recompiles (only the window-length bucket may vary the compiled
-        # shape); long-window buckets get proportionally fewer rows so a
-        # single dispatch stays bounded (_MAX_DISPATCH_ELEMS)
-        self.batch_rows = max(int(batch_rows), n_devices)
         self.max_peaks = 1023
 
         mean_loc, mean_scale = config['polya_mean_dist']
@@ -91,6 +96,28 @@ class PolyaAnalyzer:
         self.polya_mean_trigger_recalibration = (
             config['polya_mean_trigger_recalibration'] *
             config['polya_mean_dist'][1])
+
+        rc = self.recalibrate_shifted_signal
+        self._kernel_kwargs = dict(
+            window_length1=self.event_detection['window_length1'],
+            window_length2=self.event_detection['window_length2'],
+            threshold1=float(self.event_detection['threshold1']),
+            threshold2=float(self.event_detection['threshold2']),
+            peak_height=float(self.event_detection['peak_height']),
+            max_peaks=self.max_peaks,
+            spike_weight=float(self.spike_weight),
+            spike_tolerance=int(self.spike_tolerance),
+            max_spikes=_MAX_SPIKES,
+            median_pre_filter=int(self.median_pre_filter),
+            stdv_lo=float(self.polya_stdv_range[0]),
+            stdv_hi=float(self.polya_stdv_range[1]),
+            recal_max_dist=int(rc['max_dist_from_adapter']),
+            recal_max_stdv=float(rc['max_stdv']),
+            recal_zr=float(config['polya_mean_dist'][1] *
+                           config['polya_mean_z_cutoff']),
+            use_pallas=use_pallas,
+            interpret=False,
+        )
 
     # ------------------------------------------------------------------
     def process_batch(self, items, stride):
@@ -119,196 +146,162 @@ class PolyaAnalyzer:
         task.insp_begin, task.insp_end = insp_begin, insp_end
         task.full_length = len(raw)
         task.adapter_end = task.rough_begin * stride - insp_begin
-        sig = raw[insp_begin:insp_end]
-        task.signal = np.asarray(sig, np.float32)
+        task.signal = np.asarray(raw[insp_begin:insp_end], np.float32)
 
     def _rows_for(self, blen):
-        """Fixed row count of a device dispatch in the ``blen`` window
-        bucket (one compiled shape per bucket)."""
-        rows = min(self.batch_rows, max(8, _MAX_DISPATCH_ELEMS // blen))
+        rows = _BUCKET_ROWS.get(blen, 8)
         # sharded kernels split rows across devices evenly
         return -(-rows // self.n_devices) * self.n_devices
 
-    def _medfilt_tasks(self, tasks):
-        """Vectorized zero-padded median pre-filter over all task windows
-        (exact scipy.signal.medfilt semantics — the per-read scipy calls
-        this replaces were pure host serial time). Tasks are grouped by
-        window bucket and chunked so the scratch stays small."""
-        k = self.median_pre_filter
-        h = k // 2
-        groups = {}
-        for t in tasks:
-            groups.setdefault(_bucket_len(len(t.signal)), []).append(t)
-        for blen, group in groups.items():
-            step = max(1, _MAX_DISPATCH_ELEMS // blen)
-            for lo in range(0, len(group), step):
-                chunk = group[lo:lo + step]
-                buf = np.zeros((len(chunk), blen + 2 * h), np.float32)
-                for i, t in enumerate(chunk):
-                    buf[i, h:h + len(t.signal)] = t.signal
-                med = np.median(sliding_window_view(buf, k, axis=1), axis=2)
-                for i, t in enumerate(chunk):
-                    t.signal = np.ascontiguousarray(med[i, :len(t.signal)],
-                                                    np.float32)
-
-    def _fused_round_batched(self, tasks):
-        """One fused device call per (window bucket, row chunk): event
-        detection + per-read tail marking + interval DP, downloaded as one
-        packed array (ops.polya_round). All chunks are dispatched before
-        any result is awaited, overlapping uploads with device compute.
-        Fills t.events, t.is_polya and t.fused_interval."""
-        ed = self.event_detection
+    # ------------------------------------------------------------------
+    def _dispatch_round(self, tasks):
+        """Pack every task window into shared f32 streams and launch one
+        fused kernel call per (stream, window bucket, row chunk). Returns
+        [(chunk_tasks, rows, blen, handle)] with every launch dispatched
+        before any result is awaited."""
         by_bucket = {}
         for t in tasks:
             by_bucket.setdefault(_bucket_len(len(t.signal)), []).append(t)
-        from ..parallel.sharding import shard_batch_arrays
+
+        # greedy stream packing: (bucket, chunk) units, stream split when
+        # the next chunk would overflow the largest stream size
+        units = []
+        for blen, group in sorted(by_bucket.items()):
+            rows = self._rows_for(blen)
+            for lo in range(0, len(group), rows):
+                chunk = group[lo:lo + rows]
+                units.append((blen, rows, chunk,
+                              sum(len(t.signal) for t in chunk)))
+        streams = []       # (total, [unit, ...])
+        cap = _STREAM_SIZES[-1]
+        cur, cur_total = [], 0
+        for unit in units:
+            if cur and cur_total + unit[3] > cap:
+                streams.append((cur_total, cur))
+                cur, cur_total = [], 0
+            cur.append(unit)
+            cur_total += unit[3]
+        if cur:
+            streams.append((cur_total, cur))
+
         launches = []
-        with trace('C:polya/dispatch'):
-            for blen, group in sorted(by_bucket.items()):
-                rows = self._rows_for(blen)
-                for lo in range(0, len(group), rows):
-                    chunk = group[lo:lo + rows]
-                    x = np.zeros((rows, blen), np.float32)
-                    lens = np.zeros(rows, np.int32)
-                    rlo = np.zeros(rows, np.float32)
-                    rhi = np.zeros(rows, np.float32)
-                    for i, t in enumerate(chunk):
-                        x[i, :len(t.signal)] = t.signal
-                        lens[i] = len(t.signal)
-                        rng = t.polya_range or self.polya_mean_cutoff
-                        rlo[i], rhi[i] = rng
-                    x, lens, rlo, rhi = shard_batch_arrays(
-                        self.sharding, self.n_devices, x, lens, rlo, rhi)
-                    out = round_ops.polya_round(
-                        x, lens, rlo, rhi,
-                        window_length1=ed['window_length1'],
-                        window_length2=ed['window_length2'],
-                        threshold1=float(ed['threshold1']),
-                        threshold2=float(ed['threshold2']),
-                        peak_height=float(ed['peak_height']),
-                        max_peaks=self.max_peaks,
-                        spike_weight=float(self.spike_weight),
-                        spike_tolerance=int(self.spike_tolerance),
-                        use_pallas=self.use_pallas)
-                    launches.append((chunk, blen, rows, out))
-        for chunk, blen, rows, out in launches:
-            key = ('round', rows, blen)
-            stage = ('C:polya/await' if key in _SEEN_SHAPES
-                     else 'C:polya/compile')
-            _SEEN_SHAPES.add(key)
-            with trace(stage):
-                arr = np.asarray(out)
-            start, length, mean, stdv, nev, s, e, v = \
-                round_ops.unpack_round_output(arr, self.max_peaks)
-            for i, t in enumerate(chunk):
-                n = int(nev[i])
-                t.events = {
-                    'start': start[i, :n],
-                    'length': length[i, :n],
-                    'mean': mean[i, :n],
-                    'stdv': stdv[i, :n],
-                }
-                t.events['end'] = (t.events['start'] +
-                                   t.events['length']).astype(np.int64)
-                # host-side mask from the downloaded f32 means: the same
-                # comparison the kernel ran, bit-identically
-                rng = t.polya_range or self.polya_mean_cutoff
-                m = t.events['mean']
-                t.is_polya = (m >= rng[0]) & (m <= rng[1])
-                t.fused_interval = ((int(s[i]), int(e[i]))
-                                    if v[i] > 0 else None)
+        for total, stream_units in streams:
+            size = next((s for s in _STREAM_SIZES if s >= total), None)
+            if size is None:        # a single oversized window bucket
+                size = ((total + cap - 1) // cap) * cap
+            stream = np.zeros(size, np.float32)
+            offset = 0
+            metas = []
+            for blen, rows, chunk, _ in stream_units:
+                meta = np.zeros((rows, 5), np.float32)
+                for i, t in enumerate(chunk):
+                    n = len(t.signal)
+                    stream[offset:offset + n] = t.signal
+                    meta[i] = (offset, n, t.adapter_end,
+                               *(t.polya_range or self.polya_mean_cutoff))
+                    offset += n
+                metas.append((blen, rows, chunk, meta))
+            stream_dev = self._put_stream(stream)
+            for blen, rows, chunk, meta in metas:
+                meta_i = meta[:, :3].astype(np.int32)
+                meta_f = np.ascontiguousarray(meta[:, 3:])
+                meta_i, meta_f = self._put_meta(meta_i, meta_f)
+                out = round_ops.polya_round(
+                    stream_dev, meta_i, meta_f, blen=blen,
+                    **self._kernel_kwargs)
+                launches.append((chunk, rows, blen, size, out))
+        return launches
+
+    def _put_stream(self, stream):
+        import jax
+        import jax.numpy as jnp
+        if self.sharding is None or self.n_devices <= 1:
+            return jnp.asarray(stream)
+        # windows are gathered by sharded row indices, so the stream is
+        # replicated across the mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(self.sharding.mesh, P())
+        return jax.device_put(jnp.asarray(stream), repl)
+
+    def _put_meta(self, meta_i, meta_f):
+        from ..parallel.sharding import shard_batch_arrays
+        return shard_batch_arrays(self.sharding, self.n_devices,
+                                  meta_i, meta_f)
 
     def warmup(self):
-        """Compile every fused-round shape and the recalibration-DP shapes
-        before the first real batch; otherwise each new shape's compile
-        lands inside batch latency (seconds each over a TPU tunnel)."""
-        for blen in _BUCKETS:
-            t = _Task(None, 0, 1, None, 0)
-            t.signal = np.zeros(blen, np.float32)
-            self._fused_round_batched([t])
-        from ..parallel.sharding import shard_batch_arrays
-        rows = self.batch_rows
-        for kmax in (64, 128, 256, 512, 1024):
-            ip, ln, n = shard_batch_arrays(
-                self.sharding, self.n_devices,
-                np.zeros((rows, kmax), bool), np.zeros((rows, kmax),
-                                                       np.float32),
-                np.zeros(rows, np.int32))
-            s, e, v = dp_ops.find_best_polya_interval(
-                ip, ln, n, spike_weight=float(self.spike_weight),
-                spike_tolerance=int(self.spike_tolerance))
-            np.asarray(v)
-
-    def _dp_wave(self, tasks):
-        """Run the interval DP for all tasks in padded fixed-row device
-        calls (compiled shape varies only with the event-count bucket).
-        Returns list of (start, end) or None per task."""
-        if not tasks:
-            return []
-        results = []
-        rows = self.batch_rows
-        from ..parallel.sharding import shard_batch_arrays
-        for lo in range(0, len(tasks), rows):
-            chunk = tasks[lo:lo + rows]
-            kmax = max(64, max(len(t.is_polya) for t in chunk))
-            kmax = 1 << (kmax - 1).bit_length()
-            ip = np.zeros((rows, kmax), bool)
-            ln = np.zeros((rows, kmax), np.float32)
-            n = np.zeros(rows, np.int32)
-            for i, t in enumerate(chunk):
-                k = len(t.is_polya)
-                ip[i, :k] = t.is_polya
-                ln[i, :k] = t.events['length']
-                n[i] = k
-            ip, ln, n = shard_batch_arrays(self.sharding, self.n_devices,
-                                           ip, ln, n)
-            s, e, v = dp_ops.find_best_polya_interval(
-                ip, ln, n,
-                spike_weight=float(self.spike_weight),
-                spike_tolerance=int(self.spike_tolerance))
-            key = ('dp', rows, kmax)
-            stage = ('C:polya/dp_await' if key in _SEEN_SHAPES
-                     else 'C:polya/dp_compile')
-            _SEEN_SHAPES.add(key)
-            with trace(stage):
-                s, e, v = np.asarray(s), np.asarray(e), np.asarray(v)
-            results.extend(
-                (int(s[i]), int(e[i])) if v[i] > 0 else None
-                for i in range(len(chunk)))
-        return results
+        """Compile every fused-round shape before the first real batch;
+        otherwise each new shape's compile lands inside batch latency
+        (seconds each over a TPU tunnel)."""
+        for size in _STREAM_SIZES:
+            for blen in _BUCKETS:
+                t = _Task(None, 0, 1, None, 0)
+                t.signal = np.zeros(min(blen, size), np.float32)
+                t.adapter_end = 0
+                stream = np.zeros(size, np.float32)
+                stream[:len(t.signal)] = t.signal
+                rows = self._rows_for(blen)
+                meta = np.zeros((rows, 5), np.float32)
+                meta[0] = (0, len(t.signal), 0, *self.polya_mean_cutoff)
+                meta_i, meta_f = self._put_meta(
+                    meta[:, :3].astype(np.int32),
+                    np.ascontiguousarray(meta[:, 3:]))
+                out = round_ops.polya_round(
+                    self._put_stream(stream), meta_i, meta_f, blen=blen,
+                    **self._kernel_kwargs)
+                np.asarray(out)
+                _SEEN_SHAPES.add(('round', rows, blen, size))
 
     # ------------------------------------------------------------------
     def _run_round(self, tasks, stride):
         with trace('C:polya/window_build'):
             for t in tasks:
                 self._build_window(t, stride)
-        if self.median_pre_filter > 1:
-            with trace('C:polya/medfilt'):
-                self._medfilt_tasks(tasks)
-        self._fused_round_batched(tasks)
+        with trace('C:polya/dispatch'):
+            launches = self._dispatch_round(tasks)
 
         next_tasks = []
-        call_tasks = [t for t in tasks if not t.orig_end_none]
-        recal_tasks = [t for t in tasks if t.orig_end_none]
-
-        for t in call_tasks:
-            outcome = self._call_polya(t, t.fused_interval, stride)
-            if outcome == 'extend':
-                next_tasks.append(self._extension_task(t, stride))
-            elif outcome == 'recalibrate':
-                recal_tasks.append(t)
-
-        # recalibration pass: derive a shifted poly(A) level from anchor
-        # events, re-mark, and re-run the DP (poreplex/polya.py:127-148)
-        ready = [t for t in recal_tasks if self._recalibrate(t)]
-        intervals = self._dp_wave(ready)
-        for t, interval in zip(ready, intervals):
-            outcome = self._call_polya(t, interval, stride)
-            if outcome == 'extend':
-                next_tasks.append(self._extension_task(t, stride))
-            # a second 'recalibrate' outcome cannot happen: polya_range is set
-
+        for chunk, rows, blen, size, out in launches:
+            key = ('round', rows, blen, size)
+            stage = ('C:polya/await' if key in _SEEN_SHAPES
+                     else 'C:polya/compile')
+            _SEEN_SHAPES.add(key)
+            with trace(stage):
+                arr = np.asarray(out)
+            for i, t in enumerate(chunk):
+                row = round_ops.RoundRow(arr[i], _MAX_SPIKES)
+                nt = self._replay(t, row, stride)
+                if nt is not None:
+                    next_tasks.append(nt)
         return next_tasks
+
+    # ------------------------------------------------------------------
+    def _replay(self, t, row, stride):
+        """Advance one task's state machine from the kernel's decision
+        scalars; returns the extension task for the next round, if any."""
+        if t.orig_end_none:
+            # rough range had no end: straight to anchor recalibration
+            # (poreplex/polya.py:65-68)
+            return self._replay_recal(t, row, stride)
+        outcome = self._outcome(t, row.a, t.polya_range is not None)
+        if outcome == 'extend':
+            return self._extension_task(t, stride)
+        if outcome == 'recalibrate':
+            return self._replay_recal(t, row, stride)
+        return None
+
+    def _replay_recal(self, t, row, stride):
+        """Anchor-event recalibration decision (poreplex/polya.py:127-148)
+        on the kernel's pack-B scalars."""
+        if not row.anchor_any:
+            return None
+        if row.recal_marked_len < self.recalibrate_shifted_signal[
+                'min_length']:
+            return None
+        t.polya_range = (row.recal_lo, row.recal_hi)
+        outcome = self._outcome(t, row.b, True)
+        if outcome == 'extend':
+            return self._extension_task(t, stride)
+        return None
 
     def _extension_task(self, t, stride):
         nt = _Task(t.read, t.rough_begin,
@@ -318,86 +311,83 @@ class PolyaAnalyzer:
         return nt
 
     # ------------------------------------------------------------------
-    def _call_polya(self, t, interval, stride):
+    def _outcome(self, t, pack, range_is_set):
         """Returns 'done', 'extend' or 'recalibrate'
-        (logic of poreplex/polya.py:75-125)."""
-        ev = t.events
-        n = len(ev['mean'])
-        if interval is not None:
-            s, e = interval
-            sel = slice(s, e + 1)
-            has_interval = True
-        else:
-            has_interval = False
-
+        (logic of poreplex/polya.py:75-125) from one decision pack."""
         # right-open extension: interval touches the last event and the
         # window does not reach the end of the signal
-        if (has_interval and e == n - 1 and t.insp_end < t.full_length and
+        if (pack.valid and pack.e_is_last and
+                t.insp_end < t.full_length and
                 t.depth < self.maximum_openend_extension):
             return 'extend'
 
-        def is_shifted():
-            w = ev['length'][sel]
-            mean_level = float((ev['mean'][sel] * w).sum() / w.sum())
-            return (abs(mean_level - self.polya_mean_dist[0]) >
-                    self.polya_mean_trigger_recalibration)
+        if not pack.valid or (
+                not range_is_set and
+                abs(pack.mean_level - self.polya_mean_dist[0]) >
+                self.polya_mean_trigger_recalibration):
+            return 'recalibrate' if not range_is_set else 'done'
 
-        if not has_interval or (t.polya_range is None and is_shifted()):
-            return 'recalibrate' if t.polya_range is None else 'done'
-
-        # stdv QC on the longest event in the interval
-        rel_longest = int(np.argmax(ev['length'][sel]))
-        li = s + rel_longest
-        length = int(ev['length'][li])
-        b = int(ev['start'][li] + length * self.polya_stdv_range[0])
-        fin = int(ev['start'][li] + length * self.polya_stdv_range[1])
-        if fin - b > 2:
-            longest_stdv = float(t.signal[b:fin].std())
-        else:
-            longest_stdv = float('nan')
-
-        if longest_stdv < self.polya_stdv_max:
-            polya_begin = int(ev['start'][s]) + t.insp_begin
-            polya_end = int(ev['start'][e] + ev['length'][e]) + t.insp_begin
-            dwell = int(ev['length'][sel][t.is_polya[sel]].sum())
-            spikes = []
-            for spk in np.where(~t.is_polya[sel])[0]:
-                lo = spk - 1
-                if lo < 0:
-                    neighborhood = ()      # pandas iloc[-1:2] -> empty
-                else:
-                    # neighbors truncate at the interval edges, matching the
-                    # iloc slice over the interval-sliced frame
-                    hi = min(s + spk + 2, e + 1)
-                    neighborhood = tuple(
-                        float(v) for v in ev['mean'][s + lo:hi])
-                spikes.append((float(ev['length'][s + spk]),) + neighborhood)
+        # stdv QC on the longest event in the interval; NaN compares False
+        if pack.longest_stdv < self.polya_stdv_max:
+            if pack.spike_count > _MAX_SPIKES:
+                spikes = self._spikes_fallback(t, pack)
+            else:
+                spikes = pack.spikes()
             t.read.set_polya_tail({
-                'begin': polya_begin,
-                'end': polya_end,
-                'dwell_time': dwell / t.read.sampling_rate,
+                'begin': pack.begin_rel + t.insp_begin,
+                'end': pack.end_rel + t.insp_begin,
+                'dwell_time': pack.dwell / t.read.sampling_rate,
                 'spikes': spikes,
             })
             return 'done'
-        elif t.polya_range is None:
+        elif not range_is_set:
             return 'recalibrate'
         return 'done'
 
     # ------------------------------------------------------------------
-    def _recalibrate(self, t):
-        """Anchor-event recalibration (poreplex/polya.py:127-148).
-        Returns True when the task should proceed to a DP re-run."""
-        cfg = self.recalibrate_shifted_signal
-        ev = t.events
-        sel = ((ev['start'] <= t.adapter_end + cfg['max_dist_from_adapter']) &
-               (ev['end'] > t.adapter_end) &
-               (ev['stdv'] < cfg['max_stdv']))
-        if not sel.any():
-            return False
-        w = ev['length'][sel]
-        polya_mean = float((ev['mean'][sel] * w).sum() / w.sum())
-        zr = self.polya_mean_dist[1] * self.polya_mean_z_cutoff
-        t.polya_range = (polya_mean - zr, polya_mean + zr)
-        t.is_polya = ((ev['mean'] >= t.polya_range[0]) &
-                      (ev['mean'] <= t.polya_range[1]))
-        return float(ev['length'][t.is_polya].sum()) >= cfg['min_length']
+    def _spikes_fallback(self, t, pack):
+        """Rare path: more spikes in the accepted interval than the fused
+        kernel's bounded table. Re-derive the full event table with the
+        standalone detection kernel (identical f32 numerics) and build the
+        spike tuples on the host exactly like poreplex/polya.py:109-116."""
+        import jax.numpy as jnp
+        from ..ops import event_detection as ed
+
+        sig = _medfilt_host(t.signal, self.median_pre_filter)
+        edc = self.event_detection
+        out = ed.detect_events(
+            jnp.asarray(sig[None]), jnp.asarray([len(sig)], np.int32),
+            window_length1=edc['window_length1'],
+            window_length2=edc['window_length2'],
+            threshold1=float(edc['threshold1']),
+            threshold2=float(edc['threshold2']),
+            peak_height=float(edc['peak_height']),
+            max_peaks=self.max_peaks, use_pallas=self.use_pallas)
+        mean = np.asarray(out['mean'])[0]
+        length = np.asarray(out['length'])[0]
+        rng = t.polya_range or self.polya_mean_cutoff
+        is_polya = (mean >= rng[0]) & (mean <= rng[1])
+        s, e = pack.s, pack.e
+        spikes = []
+        for spk in np.where(~is_polya[s:e + 1])[0]:
+            if spk - 1 < 0:
+                neighborhood = ()
+            else:
+                hi = min(s + spk + 2, e + 1)
+                neighborhood = tuple(
+                    float(v) for v in mean[s + spk - 1:hi])
+            spikes.append((float(length[s + spk]),) + neighborhood)
+        return spikes
+
+
+def _medfilt_host(signal, k):
+    """Zero-padded median filter of one window (scipy.signal.medfilt
+    semantics), vectorized numpy — used only by the spike-overflow
+    fallback."""
+    if k <= 1:
+        return signal
+    from numpy.lib.stride_tricks import sliding_window_view
+    h = k // 2
+    buf = np.zeros(len(signal) + 2 * h, np.float32)
+    buf[h:h + len(signal)] = signal
+    return np.median(sliding_window_view(buf, k), axis=1).astype(np.float32)
