@@ -64,6 +64,8 @@ class SegmentationHMM:
         self.nstates = nstates
         self._decode = jax.jit(self._decode_impl)
         self._decode_paths = jax.jit(self._decode_paths_impl)
+        self._decode_paths_flat = jax.jit(self._decode_paths_flat_impl,
+                                          static_argnames=('emax',))
 
     def _decode_impl(self, x, lengths):
         path, logp = vit_ops.viterbi(x, lengths, self.log_start,
@@ -85,6 +87,22 @@ class SegmentationHMM:
                                   self.log_trans, self.mus, self.sigmas,
                                   self.logws)
         return path
+
+    def _decode_paths_flat_impl(self, stream, meta, emax):
+        """Token-packed variant for the windowed unsplit scan: windows are
+        contiguous slices of a shared per-read observation stream, so the
+        upload pays one copy of each read's events instead of ~2.7x
+        duplicated padded windows. stream: [FLAT] f32; meta: [R, 2] i32
+        (offset, length); returns paths as [R, emax] i8 (6 states) to
+        quarter the download."""
+        off = meta[:, 0]
+        lens = meta[:, 1]
+        j = jnp.arange(emax, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(off[:, None] + j, 0, stream.shape[0] - 1)
+        x = jnp.where(j < lens[:, None], jnp.take(stream, idx), 0.0)
+        path, _ = vit_ops.viterbi(x, lens, self.log_start, self.log_trans,
+                                  self.mus, self.sigmas, self.logws)
+        return path.astype(jnp.int8)
 
     def decode_paths(self, x, lengths):
         """Viterbi paths only, as ONE device array — callers that need just

@@ -104,16 +104,22 @@ class BatchAnalyzer:
 
     def warmup(self):
         """Compile every device-program shape the session can hit (stage-1
-        flat sizes, poly(A) fused-round buckets, recalibration-DP shapes,
-        unsplit event buckets) before the first batch. TPU compiles cost
-        seconds to minutes; without this they land inside batch latency on
-        first contact with each shape."""
+        flat sizes, poly(A) fused-round buckets, unsplit event buckets)
+        before the first batch. TPU compiles cost seconds to minutes;
+        without this they land inside batch latency on first contact with
+        each shape. Compiles run CONCURRENTLY: each one is mostly
+        tunnel-server latency with the host idle, and parallel compile
+        requests pipeline (~3x lower warmup wall than serial)."""
+        from concurrent.futures import ThreadPoolExecutor
+        jobs = [self.stage1.warmup]
+        if self.polya_analyzer is not None:
+            jobs += self.polya_analyzer.warmup_jobs()
+        if self.unsplit_detector is not None:
+            jobs += self.unsplit_detector.warmup_jobs()
         with trace('warmup'):
-            self.stage1.warmup()
-            if self.polya_analyzer is not None:
-                self.polya_analyzer.warmup()
-            if self.unsplit_detector is not None:
-                self.unsplit_detector.warmup()
+            with ThreadPoolExecutor(len(jobs)) as pool:
+                for f in list(pool.map(lambda job: job(), jobs)):
+                    pass
 
     # ------------------------------------------------------------------
     def load_batch(self, reads):
@@ -195,49 +201,52 @@ class BatchAnalyzer:
 
         # basecall events + trim
         unsplit_jobs = []       # (rec, payload_start, windows)
-        for rec in survivors:
-            if rec in failed:
-                continue
-            try:
-                events = self._load_events(rec)
-                if self.config['dump_basecalls']:
-                    self._dump_events(rec, events, aux)
-                if self.config['trim_adapter']:
-                    self._trim_adapter(rec, events)
-                if self.config['filter_unsplit_reads']:
-                    payload_start, windows = \
-                        self.unsplit_detector.collect_windows(
-                            rec, rec.segments, self.stride)
-                    if windows:
-                        unsplit_jobs.append((rec, payload_start, windows))
-            except SignalAnalysisError as exc:
-                fail(rec, exc.args[0])
-            except Exception as exc:
-                err = self._pack_unhandled_exception(
-                    rec.filename, rec.read_id, exc)
-                rec.set_error(err['status'], err['error_message'])
-
-        # batched unsplit Viterbi
-        if unsplit_jobs:
-            flat = [(rec, sel) for rec, _, windows in unsplit_jobs
-                    for sel in windows]
-            with trace('C:unsplit_viterbi'):
-                paths = self.unsplit_detector.decode_windows_batched(flat)
-            cursor = 0
-            for rec, payload_start, windows in unsplit_jobs:
-                if rec in failed or rec.error_message:
-                    cursor += len(windows)
+        with trace('C:events_trim'):
+            for rec in survivors:
+                if rec in failed:
                     continue
-                wpaths = paths[cursor:cursor + len(windows)]
-                cursor += len(windows)
                 try:
-                    if self.unsplit_detector.analyze_read(
-                            rec, payload_start, windows, wpaths):
-                        fail(rec, 'unsplit_read')
+                    events = self._load_events(rec)
+                    if self.config['dump_basecalls']:
+                        self._dump_events(rec, events, aux)
+                    if self.config['trim_adapter']:
+                        self._trim_adapter(rec, events)
+                    if self.config['filter_unsplit_reads']:
+                        payload_start, windows = \
+                            self.unsplit_detector.collect_windows(
+                                rec, rec.segments, self.stride)
+                        if windows:
+                            unsplit_jobs.append(
+                                (rec, payload_start, windows))
+                except SignalAnalysisError as exc:
+                    fail(rec, exc.args[0])
                 except Exception as exc:
                     err = self._pack_unhandled_exception(
                         rec.filename, rec.read_id, exc)
                     rec.set_error(err['status'], err['error_message'])
+
+        # batched unsplit Viterbi
+        if unsplit_jobs:
+            flat = [(rec, lo, hi) for rec, _, windows in unsplit_jobs
+                    for lo, hi in windows]
+            with trace('C:unsplit_viterbi'):
+                paths = self.unsplit_detector.decode_windows_batched(flat)
+            cursor = 0
+            with trace('C:unsplit_analyze'):
+                for rec, payload_start, windows in unsplit_jobs:
+                    if rec in failed or rec.error_message:
+                        cursor += len(windows)
+                        continue
+                    wpaths = paths[cursor:cursor + len(windows)]
+                    cursor += len(windows)
+                    try:
+                        if self.unsplit_detector.analyze_read(
+                                rec, payload_start, windows, wpaths):
+                            fail(rec, 'unsplit_read')
+                    except Exception as exc:
+                        err = self._pack_unhandled_exception(
+                            rec.filename, rec.read_id, exc)
+                        rec.set_error(err['status'], err['error_message'])
 
         # sequence length filter + labels
         for rec in survivors:

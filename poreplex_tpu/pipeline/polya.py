@@ -42,7 +42,11 @@ _BUCKET_ROWS = {8192: 128, 131072: 16}
 # split into multiple streams
 _STREAM_SIZES = (1 << 19, 1 << 21)
 
-_MAX_SPIKES = 16
+# per-pack spike-table capacity: spike_tolerance budgets RESET at every
+# poly(A) event, so an accepted interval can legally hold dozens of short
+# spikes; downloads are cheap (~2.6 ms RTT at 70 MB/s; 5 KB/row at this
+# capacity) while every overflow pays a ~100 ms host fallback dispatch
+_MAX_SPIKES = 128
 
 
 def _bucket_len(n):
@@ -228,20 +232,17 @@ class PolyaAnalyzer:
         return shard_batch_arrays(self.sharding, self.n_devices,
                                   meta_i, meta_f)
 
-    def warmup(self):
-        """Compile every fused-round shape before the first real batch;
-        otherwise each new shape's compile lands inside batch latency
-        (seconds each over a TPU tunnel)."""
-        for size in _STREAM_SIZES:
-            for blen in _BUCKETS:
-                t = _Task(None, 0, 1, None, 0)
-                t.signal = np.zeros(min(blen, size), np.float32)
-                t.adapter_end = 0
+    def warmup_jobs(self):
+        """One zero-arg compile job per fused-round shape, so the analyzer
+        can overlap them: each compile is minutes of tunnel-server latency
+        with the host idle, and concurrent compile requests pipeline."""
+        def job(size, blen):
+            def run():
+                n = min(blen, size)
                 stream = np.zeros(size, np.float32)
-                stream[:len(t.signal)] = t.signal
                 rows = self._rows_for(blen)
                 meta = np.zeros((rows, 5), np.float32)
-                meta[0] = (0, len(t.signal), 0, *self.polya_mean_cutoff)
+                meta[0] = (0, n, 0, *self.polya_mean_cutoff)
                 meta_i, meta_f = self._put_meta(
                     meta[:, :3].astype(np.int32),
                     np.ascontiguousarray(meta[:, 3:]))
@@ -250,6 +251,16 @@ class PolyaAnalyzer:
                     **self._kernel_kwargs)
                 np.asarray(out)
                 _SEEN_SHAPES.add(('round', rows, blen, size))
+            return run
+        return [job(size, blen) for size in _STREAM_SIZES
+                for blen in _BUCKETS]
+
+    def warmup(self):
+        """Compile every fused-round shape before the first real batch;
+        otherwise each new shape's compile lands inside batch latency
+        (seconds each over a TPU tunnel)."""
+        for run in self.warmup_jobs():
+            run()
 
     # ------------------------------------------------------------------
     def _run_round(self, tasks, stride):
@@ -267,11 +278,12 @@ class PolyaAnalyzer:
             _SEEN_SHAPES.add(key)
             with trace(stage):
                 arr = np.asarray(out)
-            for i, t in enumerate(chunk):
-                row = round_ops.RoundRow(arr[i], _MAX_SPIKES)
-                nt = self._replay(t, row, stride)
-                if nt is not None:
-                    next_tasks.append(nt)
+            with trace('C:polya/replay'):
+                for i, t in enumerate(chunk):
+                    row = round_ops.RoundRow(arr[i], _MAX_SPIKES)
+                    nt = self._replay(t, row, stride)
+                    if nt is not None:
+                        next_tasks.append(nt)
         return next_tasks
 
     # ------------------------------------------------------------------
@@ -330,7 +342,8 @@ class PolyaAnalyzer:
         # stdv QC on the longest event in the interval; NaN compares False
         if pack.longest_stdv < self.polya_stdv_max:
             if pack.spike_count > _MAX_SPIKES:
-                spikes = self._spikes_fallback(t, pack)
+                with trace('C:polya/spike_fallback'):
+                    spikes = self._spikes_fallback(t, pack)
             else:
                 spikes = pack.spikes()
             t.read.set_polya_tail({
@@ -354,9 +367,16 @@ class PolyaAnalyzer:
         from ..ops import event_detection as ed
 
         sig = _medfilt_host(t.signal, self.median_pre_filter)
+        # pad to the window bucket so the dispatch reuses a bounded set of
+        # compiled shapes (length masking makes the padding inert)
+        true_len = len(sig)
+        blen = _bucket_len(true_len)
+        if blen > true_len:
+            sig = np.concatenate([sig, np.zeros(blen - true_len,
+                                                np.float32)])
         edc = self.event_detection
         out = ed.detect_events(
-            jnp.asarray(sig[None]), jnp.asarray([len(sig)], np.int32),
+            jnp.asarray(sig[None]), jnp.asarray([true_len], np.int32),
             window_length1=edc['window_length1'],
             window_length2=edc['window_length2'],
             threshold1=float(edc['threshold1']),

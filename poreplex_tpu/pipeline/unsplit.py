@@ -2,10 +2,14 @@
 
 Re-orchestration of the reference's windowed second-HMM scan
 (poreplex/signal_analyzer.py:366-443): sliding windows over post-adapter
-basecalled events are gathered across ALL reads of a batch, decoded with
-the unsplit HMM in one padded device Viterbi call, and the leader->adapter
-run analysis + duration cutoffs + high-quality-base counting run on the
-host with identical semantics.
+basecalled events are gathered across ALL reads of a batch and decoded
+with the unsplit HMM in ONE token-packed device call — every read's
+scaled-mean event stream is uploaded once and each window is a
+contiguous (lo, hi) slice of it, so the wire pays one copy of the events
+instead of ~2.7x duplicated padded windows, and the Viterbi paths come
+back as a single i8 array. The leader->adapter run analysis + duration
+cutoffs + high-quality-base counting run on the host with identical
+semantics.
 """
 
 import numpy as np
@@ -14,6 +18,12 @@ from ..utils.intervals import union_intervals
 
 
 class UnsplitReadDetector:
+
+    # per-launch window rows (windows-per-read is typically 2-4, so this
+    # covers a whole 128-read batch in one dispatch) and the shared
+    # event-stream capacity in f32 elements
+    ROWS_MULT = 4
+    STREAM_SIZE = 1 << 16
 
     def __init__(self, config, unsplit_model, sharding=None, n_devices=1,
                  batch_rows=128):
@@ -24,8 +34,8 @@ class UnsplitReadDetector:
         self.n_devices = n_devices
         # fixed-row device dispatches: window-count changes between batches
         # must not trigger XLA recompiles (only the event-count bucket may)
-        self.batch_rows = max(int(batch_rows), n_devices)
-        names = unsplit_model.state_names
+        rows = max(int(batch_rows), 1) * self.ROWS_MULT
+        self.rows = -(-rows // n_devices) * n_devices
         self.leaderish = {unsplit_model.state_index[n]
                           for n in ('adapter', 'leader-high', 'leader-low')
                           if n in unsplit_model.state_index}
@@ -34,8 +44,9 @@ class UnsplitReadDetector:
     # ------------------------------------------------------------------
     def collect_windows(self, read, segments, elspan):
         """Build the sliding event windows for one read
-        (poreplex/signal_analyzer.py:369-387). Returns list of
-        (index_array,) windows or None when not applicable."""
+        (poreplex/signal_analyzer.py:369-387). Event starts are sorted, so
+        each window is a contiguous [lo, hi) slice of the event table;
+        returns a list of (lo, hi) pairs or None when not applicable."""
         try:
             payload_start = (segments['adapter'][1] + 1) * elspan
         except (KeyError, IndexError):
@@ -53,17 +64,19 @@ class UnsplitReadDetector:
 
         windows = []
         for left in range(payload_start, last_end, window_step):
-            sel = np.nonzero((starts >= left) &
-                             (starts <= left + window_size))[0]
-            if len(sel) < 1:
+            lo = int(np.searchsorted(starts, left, side='left'))
+            hi = int(np.searchsorted(starts, left + window_size,
+                                     side='right'))
+            if hi - lo < 1:
                 break
-            windows.append(sel)
+            windows.append((lo, hi))
         return payload_start, windows
 
     # event-count buckets for the padded Viterbi shape: coarse on purpose —
-    # the decode cost is tiny next to a compile, so three compiled shapes
-    # cover everything (larger counts snap to the next power of two)
-    EVENT_BUCKETS = (16, 128, 1024)
+    # padding is compute-only (the upload is token-packed) and every extra
+    # compiled shape costs seconds of tunnel warmup (larger counts snap to
+    # the next power of two)
+    EVENT_BUCKETS = (128, 1024)
 
     @classmethod
     def _event_bucket(cls, n):
@@ -74,43 +87,96 @@ class UnsplitReadDetector:
 
     # ------------------------------------------------------------------
     def decode_windows_batched(self, jobs):
-        """jobs: list of (read, window_index_array). Runs padded fixed-row
-        device Viterbi calls over all windows (compiled shape varies only
-        with the event-count bucket). All chunks are dispatched before any
-        path array is awaited, and only the path crosses back (one
-        transfer per chunk); returns list of state paths."""
+        """jobs: list of (read, lo, hi) contiguous event-slice windows.
+        Uploads each read's scaled_mean stream once + a tiny [R, 2] meta
+        table, runs the padded Viterbi (compiled shape varies only with
+        the event-count bucket), and downloads the i8 path array — one
+        launch for a whole batch in the common case. All launches are
+        dispatched before any path is awaited; returns state paths."""
         if not jobs:
             return []
-        from ..parallel.sharding import shard_batch_arrays
-        rows = self.batch_rows
         launches = []
-        for lo in range(0, len(jobs), rows):
-            chunk = jobs[lo:lo + rows]
-            emax = self._event_bucket(max(len(sel) for _, sel in chunk))
-            x = np.zeros((rows, emax), np.float32)
-            lens = np.zeros(rows, np.int32)
-            for i, (read, sel) in enumerate(chunk):
-                vals = read.events['scaled_mean'].to_numpy()[sel]
-                x[i, :len(sel)] = vals
-                lens[i] = len(sel)
-            xs, ls = shard_batch_arrays(self.sharding, self.n_devices,
-                                        x, lens)
-            launches.append((len(chunk), lens, self.model._decode_paths(xs, ls)))
+        cursor = 0
+        while cursor < len(jobs):
+            chunk, stream, meta, emax = self._pack_chunk(jobs, cursor)
+            cursor += len(chunk)
+            stream_dev = self._put_stream(stream)
+            meta_dev, = self._put_meta(meta)
+            launches.append(
+                (len(chunk), meta[:, 1],
+                 self.model._decode_paths_flat(stream_dev, meta_dev,
+                                               emax=emax)))
         paths = []
         for used, lens, handle in launches:
             path = np.asarray(handle)
             paths.extend(path[i, :lens[i]] for i in range(used))
         return paths
 
+    def _pack_chunk(self, jobs, cursor):
+        """Pack jobs[cursor:] into one launch: per-read event streams laid
+        end-to-end (each read uploaded once per chunk), bounded by the row
+        count and the stream capacity."""
+        rows = self.rows
+        stream = np.zeros(self.STREAM_SIZE, np.float32)
+        meta = np.zeros((rows, 2), np.int32)
+        offsets = {}        # id(read) -> stream offset
+        used = 0
+        chunk = []
+        emax = 0
+        for read, lo, hi in jobs[cursor:]:
+            if len(chunk) >= rows:
+                break
+            key = id(read)
+            if key not in offsets:
+                vals = read.events['scaled_mean'].to_numpy()
+                vals = np.asarray(vals, np.float32)
+                if used + len(vals) > len(stream):
+                    if not chunk:
+                        # one read larger than the stream: grow it
+                        cap = len(stream)
+                        need = used + len(vals)
+                        stream = np.resize(stream,
+                                           ((need + cap - 1) // cap) * cap)
+                    else:
+                        break
+                stream[used:used + len(vals)] = vals
+                offsets[key] = used
+                used += len(vals)
+            meta[len(chunk)] = (offsets[key] + lo, hi - lo)
+            emax = max(emax, hi - lo)
+            chunk.append((read, lo, hi))
+        return chunk, stream, meta, self._event_bucket(emax)
+
+    def _put_stream(self, stream):
+        import jax
+        import jax.numpy as jnp
+        if self.sharding is None or self.n_devices <= 1:
+            return jnp.asarray(stream)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(self.sharding.mesh, P())
+        return jax.device_put(jnp.asarray(stream), repl)
+
+    def _put_meta(self, meta):
+        from ..parallel.sharding import shard_batch_arrays
+        return shard_batch_arrays(self.sharding, self.n_devices, meta)
+
+    def warmup_jobs(self):
+        """One zero-arg compile job per event bucket (see
+        PolyaAnalyzer.warmup_jobs for why these run concurrently)."""
+        def job(emax):
+            def run():
+                stream = self._put_stream(
+                    np.zeros(self.STREAM_SIZE, np.float32))
+                meta, = self._put_meta(np.zeros((self.rows, 2), np.int32))
+                np.asarray(self.model._decode_paths_flat(stream, meta,
+                                                         emax=emax))
+            return run
+        return [job(emax) for emax in self.EVENT_BUCKETS]
+
     def warmup(self):
         """Compile the padded Viterbi for every event bucket up front."""
-        from ..parallel.sharding import shard_batch_arrays
-        for emax in self.EVENT_BUCKETS:
-            xs, ls = shard_batch_arrays(
-                self.sharding, self.n_devices,
-                np.zeros((self.batch_rows, emax), np.float32),
-                np.zeros(self.batch_rows, np.int32))
-            np.asarray(self.model._decode_paths(xs, ls))
+        for run in self.warmup_jobs():
+            run()
 
     # ------------------------------------------------------------------
     def analyze_read(self, read, payload_start, windows, paths):
@@ -129,7 +195,7 @@ class UnsplitReadDetector:
         ends = ev['end'].to_numpy().astype(np.int64)
 
         excessive_adapters = []
-        for sel, path in zip(windows, paths):
+        for (lo, hi), path in zip(windows, paths):
             leader_start = None
             for first, last, state in _iter_runs(path):
                 if state not in self.leaderish:
@@ -140,10 +206,10 @@ class UnsplitReadDetector:
                 if state != self.adapter_idx:
                     continue
 
-                adapter_end = int(ends[sel[last]])
-                leader_start_in_read = int(starts[sel[leader_start]])
+                adapter_end = int(ends[lo + last])
+                leader_start_in_read = int(starts[lo + leader_start])
                 total_duration = adapter_end - leader_start_in_read
-                adapter_duration = adapter_end - starts[sel[first]]
+                adapter_duration = adapter_end - starts[lo + first]
                 total_cutoff, adapter_cutoff = duration_cutoffs[
                     (leader_start_in_read - payload_start) <= strict_duration]
 
