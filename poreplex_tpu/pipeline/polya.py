@@ -5,12 +5,23 @@ Faithful re-orchestration of the reference's recursive per-read analyzer
 (poreplex/polya.py:30-187) as wavefront rounds over a whole batch. Each
 round uploads ONE token-packed f32 stream holding every active read's
 raw signal window plus a tiny [R, 5] meta table per window bucket, and
-downloads ~200 decision scalars per read — the median pre-filter, event
+downloads ~1K decision scalars per read — the median pre-filter, event
 detection, tail marking, interval DP, stdv QC, spike bookkeeping AND the
 shifted-signal anchor recalibration all run fused on device
 (ops.polya_round). The host replays the reference's decision lattice
 (extend / recalibrate / accept / reject) on the returned scalars and
 advances each read's state machine; event tables never cross the wire.
+
+Bounded open-end extension (poreplex/polya.py:77-83: re-run with the
+window grown by ``openend_expansion``, up to 50 times) is SPECULATED:
+each task submits rows for extension depths d..d+K-1 in the same round —
+row r is bit-identical to what the reference would compute at depth d+r
+(same window, same kernel), and the longer windows are supersets of the
+shorter ones so the stream holds each task's signal once. The host walks
+the rows while the outcome stays 'extend'; a chain longer than K (or a
+mid-chain recalibration, which changes the marking range for subsequent
+depths) falls back to a real next round. Extension chains that the
+sequential implementation needed N round trips for complete in ceil(N/K).
 
 Numeric semantics (window arithmetic, integer truncation, spike
 bookkeeping, stdv QC, shifted-signal recalibration) match the reference;
@@ -48,6 +59,9 @@ _STREAM_SIZES = (1 << 19, 1 << 21)
 # capacity) while every overflow pays a ~100 ms host fallback dispatch
 _MAX_SPIKES = 128
 
+# speculative extension depth: rows submitted per task per round
+_SPEC_DEPTH = 4
+
 
 def _bucket_len(n):
     for b in _BUCKETS:
@@ -58,8 +72,8 @@ def _bucket_len(n):
 
 class _Task:
     __slots__ = ('read', 'rough_begin', 'rough_end', 'orig_end_none',
-                 'polya_range', 'depth', 'signal', 'insp_begin', 'insp_end',
-                 'full_length', 'adapter_end')
+                 'polya_range', 'depth', 'signal', 'insp_begin',
+                 'full_length', 'adapter_end', 'spec', 'results')
 
     def __init__(self, read, rough_begin, rough_end, polya_range, depth):
         self.read = read
@@ -137,6 +151,9 @@ class PolyaAnalyzer:
 
     # ------------------------------------------------------------------
     def _build_window(self, task, stride):
+        """Window arithmetic of poreplex/polya.py:50-63, plus the
+        speculative rows: task.spec[r] = (length, insp_end) for extension
+        depth task.depth + r; the signal slice covers the LONGEST row."""
         raw = task.read.scaled_raw
         meu = self.openend_expansion // stride
         rough_begin, rough_end = task.rough_begin, task.rough_end
@@ -145,12 +162,27 @@ class PolyaAnalyzer:
         task.rough_end = rough_end
 
         insp_begin = max(0, rough_begin * stride - self.refinement_expansion)
-        insp_end = min(len(raw),
-                       (rough_end + 1) * stride + self.refinement_expansion)
-        task.insp_begin, task.insp_end = insp_begin, insp_end
+        task.insp_begin = insp_begin
         task.full_length = len(raw)
-        task.adapter_end = task.rough_begin * stride - insp_begin
-        task.signal = np.asarray(raw[insp_begin:insp_end], np.float32)
+        task.adapter_end = rough_begin * stride - insp_begin
+
+        spec = []
+        for r in range(_SPEC_DEPTH):
+            insp_end = min(len(raw), (rough_end + r * meu + 1) * stride +
+                           self.refinement_expansion)
+            spec.append((insp_end - insp_begin, insp_end))
+            # row r+1 is consulted only when row r extends, which requires
+            # an uncapped window and remaining extension budget; an
+            # end-less rough range goes straight to recalibration where a
+            # chain is never walked (the range changes)
+            if not (insp_end < len(raw) and
+                    task.depth + r < self.maximum_openend_extension and
+                    not task.orig_end_none):
+                break
+        task.spec = spec
+        task.results = {}
+        task.signal = np.asarray(raw[insp_begin:insp_begin + spec[-1][0]],
+                                 np.float32)
 
     def _rows_for(self, blen):
         rows = _BUCKET_ROWS.get(blen, 8)
@@ -159,61 +191,56 @@ class PolyaAnalyzer:
 
     # ------------------------------------------------------------------
     def _dispatch_round(self, tasks):
-        """Pack every task window into shared f32 streams and launch one
-        fused kernel call per (stream, window bucket, row chunk). Returns
-        [(chunk_tasks, rows, blen, handle)] with every launch dispatched
-        before any result is awaited."""
-        by_bucket = {}
-        for t in tasks:
-            by_bucket.setdefault(_bucket_len(len(t.signal)), []).append(t)
-
-        # greedy stream packing: (bucket, chunk) units, stream split when
-        # the next chunk would overflow the largest stream size
-        units = []
-        for blen, group in sorted(by_bucket.items()):
-            rows = self._rows_for(blen)
-            for lo in range(0, len(group), rows):
-                chunk = group[lo:lo + rows]
-                units.append((blen, rows, chunk,
-                              sum(len(t.signal) for t in chunk)))
-        streams = []       # (total, [unit, ...])
+        """Pack every task's window into shared f32 streams (ONE copy per
+        task — speculative rows reference the same offset with their own
+        lengths) and launch one fused kernel call per (stream, window
+        bucket, row chunk). Returns [(entries, rows, blen, size, handle)]
+        with every launch dispatched before any result is awaited."""
+        # assign tasks to streams; every spec row of a task points into
+        # its task's stream
         cap = _STREAM_SIZES[-1]
+        stream_groups = []          # (total, [task, ...])
         cur, cur_total = [], 0
-        for unit in units:
-            if cur and cur_total + unit[3] > cap:
-                streams.append((cur_total, cur))
+        for t in tasks:
+            n = len(t.signal)
+            if cur and cur_total + n > cap:
+                stream_groups.append((cur_total, cur))
                 cur, cur_total = [], 0
-            cur.append(unit)
-            cur_total += unit[3]
+            cur.append(t)
+            cur_total += n
         if cur:
-            streams.append((cur_total, cur))
+            stream_groups.append((cur_total, cur))
 
         launches = []
-        for total, stream_units in streams:
+        for total, group in stream_groups:
             size = next((s for s in _STREAM_SIZES if s >= total), None)
-            if size is None:        # a single oversized window bucket
+            if size is None:        # a single oversized window
                 size = ((total + cap - 1) // cap) * cap
             stream = np.zeros(size, np.float32)
             offset = 0
-            metas = []
-            for blen, rows, chunk, _ in stream_units:
-                meta = np.zeros((rows, 5), np.float32)
-                for i, t in enumerate(chunk):
-                    n = len(t.signal)
-                    stream[offset:offset + n] = t.signal
-                    meta[i] = (offset, n, t.adapter_end,
-                               *(t.polya_range or self.polya_mean_cutoff))
-                    offset += n
-                metas.append((blen, rows, chunk, meta))
+            by_bucket = {}
+            for t in group:
+                n = len(t.signal)
+                stream[offset:offset + n] = t.signal
+                for r, (length, _) in enumerate(t.spec):
+                    by_bucket.setdefault(_bucket_len(length), []).append(
+                        (t, r, offset, length))
+                offset += n
             stream_dev = self._put_stream(stream)
-            for blen, rows, chunk, meta in metas:
-                meta_i = meta[:, :3].astype(np.int32)
-                meta_f = np.ascontiguousarray(meta[:, 3:])
-                meta_i, meta_f = self._put_meta(meta_i, meta_f)
-                out = round_ops.polya_round(
-                    stream_dev, meta_i, meta_f, blen=blen,
-                    **self._kernel_kwargs)
-                launches.append((chunk, rows, blen, size, out))
+            for blen, entries in sorted(by_bucket.items()):
+                rows = self._rows_for(blen)
+                for lo in range(0, len(entries), rows):
+                    chunk = entries[lo:lo + rows]
+                    meta_i = np.zeros((rows, 3), np.int32)
+                    meta_f = np.zeros((rows, 2), np.float32)
+                    for i, (t, r, off, length) in enumerate(chunk):
+                        meta_i[i] = (off, length, t.adapter_end)
+                        meta_f[i] = t.polya_range or self.polya_mean_cutoff
+                    mi, mf = self._put_meta(meta_i, meta_f)
+                    out = round_ops.polya_round(
+                        stream_dev, mi, mf, blen=blen,
+                        **self._kernel_kwargs)
+                    launches.append((chunk, rows, blen, size, out))
         return launches
 
     def _put_stream(self, stream):
@@ -241,13 +268,13 @@ class PolyaAnalyzer:
                 n = min(blen, size)
                 stream = np.zeros(size, np.float32)
                 rows = self._rows_for(blen)
-                meta = np.zeros((rows, 5), np.float32)
-                meta[0] = (0, n, 0, *self.polya_mean_cutoff)
-                meta_i, meta_f = self._put_meta(
-                    meta[:, :3].astype(np.int32),
-                    np.ascontiguousarray(meta[:, 3:]))
+                meta_i = np.zeros((rows, 3), np.int32)
+                meta_i[0] = (0, n, 0)
+                meta_f = np.zeros((rows, 2), np.float32)
+                meta_f[0] = self.polya_mean_cutoff
+                mi, mf = self._put_meta(meta_i, meta_f)
                 out = round_ops.polya_round(
-                    self._put_stream(stream), meta_i, meta_f, blen=blen,
+                    self._put_stream(stream), mi, mf, blen=blen,
                     **self._kernel_kwargs)
                 np.asarray(out)
                 _SEEN_SHAPES.add(('round', rows, blen, size))
@@ -270,7 +297,6 @@ class PolyaAnalyzer:
         with trace('C:polya/dispatch'):
             launches = self._dispatch_round(tasks)
 
-        next_tasks = []
         for chunk, rows, blen, size, out in launches:
             key = ('round', rows, blen, size)
             stage = ('C:polya/await' if key in _SEEN_SHAPES
@@ -278,59 +304,73 @@ class PolyaAnalyzer:
             _SEEN_SHAPES.add(key)
             with trace(stage):
                 arr = np.asarray(out)
-            with trace('C:polya/replay'):
-                for i, t in enumerate(chunk):
-                    row = round_ops.RoundRow(arr[i], _MAX_SPIKES)
-                    nt = self._replay(t, row, stride)
-                    if nt is not None:
-                        next_tasks.append(nt)
+            for i, (t, r, _, _) in enumerate(chunk):
+                t.results[r] = round_ops.RoundRow(arr[i], _MAX_SPIKES)
+
+        next_tasks = []
+        with trace('C:polya/replay'):
+            for t in tasks:
+                nt = self._replay_chain(t, stride)
+                if nt is not None:
+                    next_tasks.append(nt)
         return next_tasks
 
     # ------------------------------------------------------------------
-    def _replay(self, t, row, stride):
-        """Advance one task's state machine from the kernel's decision
-        scalars; returns the extension task for the next round, if any."""
-        if t.orig_end_none:
-            # rough range had no end: straight to anchor recalibration
-            # (poreplex/polya.py:65-68)
-            return self._replay_recal(t, row, stride)
-        outcome = self._outcome(t, row.a, t.polya_range is not None)
-        if outcome == 'extend':
-            return self._extension_task(t, stride)
-        if outcome == 'recalibrate':
-            return self._replay_recal(t, row, stride)
+    def _replay_chain(self, t, stride):
+        """Walk this task's speculative rows through the reference's
+        decision lattice; returns the real extension task for the next
+        round when the chain runs past the speculated depth or the
+        marking range changes mid-chain."""
+        meu = self.openend_expansion // stride
+        for r, (length, insp_end) in enumerate(t.spec):
+            row = t.results[r]
+            depth = t.depth + r
+            range_was_set = t.polya_range is not None
+
+            if t.orig_end_none and r == 0:
+                # rough range had no end: straight to anchor recalibration
+                # (poreplex/polya.py:65-68)
+                outcome = self._replay_recal(t, row, depth, insp_end)
+            else:
+                outcome = self._outcome(t, row.a, range_was_set, depth,
+                                        insp_end)
+                if outcome == 'recalibrate':
+                    outcome = self._replay_recal(t, row, depth, insp_end)
+            if outcome != 'extend':
+                return None
+            # extension: row r+1 IS the reference's depth+1 computation —
+            # unless the marking range just changed (the next depth must
+            # re-mark with it) or the speculation window is exhausted
+            range_changed = (t.polya_range is not None) != range_was_set
+            if range_changed or r + 1 >= len(t.spec):
+                nt = _Task(t.read, t.rough_begin,
+                           t.rough_end + (r + 1) * meu,
+                           t.polya_range, depth + 1)
+                nt.orig_end_none = False
+                return nt
         return None
 
-    def _replay_recal(self, t, row, stride):
+    def _replay_recal(self, t, row, depth, insp_end):
         """Anchor-event recalibration decision (poreplex/polya.py:127-148)
-        on the kernel's pack-B scalars."""
+        on the kernel's pack-B scalars. Returns the follow-up outcome
+        ('done'/'extend')."""
         if not row.anchor_any:
-            return None
+            return 'done'
         if row.recal_marked_len < self.recalibrate_shifted_signal[
                 'min_length']:
-            return None
+            return 'done'
         t.polya_range = (row.recal_lo, row.recal_hi)
-        outcome = self._outcome(t, row.b, True)
-        if outcome == 'extend':
-            return self._extension_task(t, stride)
-        return None
-
-    def _extension_task(self, t, stride):
-        nt = _Task(t.read, t.rough_begin,
-                   t.rough_end + self.openend_expansion // stride,
-                   t.polya_range, t.depth + 1)
-        nt.orig_end_none = False
-        return nt
+        return self._outcome(t, row.b, True, depth, insp_end)
 
     # ------------------------------------------------------------------
-    def _outcome(self, t, pack, range_is_set):
+    def _outcome(self, t, pack, range_is_set, depth, insp_end):
         """Returns 'done', 'extend' or 'recalibrate'
         (logic of poreplex/polya.py:75-125) from one decision pack."""
         # right-open extension: interval touches the last event and the
         # window does not reach the end of the signal
         if (pack.valid and pack.e_is_last and
-                t.insp_end < t.full_length and
-                t.depth < self.maximum_openend_extension):
+                insp_end < t.full_length and
+                depth < self.maximum_openend_extension):
             return 'extend'
 
         if not pack.valid or (
@@ -343,7 +383,7 @@ class PolyaAnalyzer:
         if pack.longest_stdv < self.polya_stdv_max:
             if pack.spike_count > _MAX_SPIKES:
                 with trace('C:polya/spike_fallback'):
-                    spikes = self._spikes_fallback(t, pack)
+                    spikes = self._spikes_fallback(t, pack, insp_end)
             else:
                 spikes = pack.spikes()
             t.read.set_polya_tail({
@@ -358,7 +398,7 @@ class PolyaAnalyzer:
         return 'done'
 
     # ------------------------------------------------------------------
-    def _spikes_fallback(self, t, pack):
+    def _spikes_fallback(self, t, pack, insp_end):
         """Rare path: more spikes in the accepted interval than the fused
         kernel's bounded table. Re-derive the full event table with the
         standalone detection kernel (identical f32 numerics) and build the
@@ -366,7 +406,8 @@ class PolyaAnalyzer:
         import jax.numpy as jnp
         from ..ops import event_detection as ed
 
-        sig = _medfilt_host(t.signal, self.median_pre_filter)
+        sig = _medfilt_host(t.signal[:insp_end - t.insp_begin],
+                            self.median_pre_filter)
         # pad to the window bucket so the dispatch reuses a bounded set of
         # compiled shapes (length masking makes the padding inert)
         true_len = len(sig)

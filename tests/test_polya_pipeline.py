@@ -90,6 +90,43 @@ def test_batch_matches_oracle(polya_config, case):
         np.testing.assert_allclose(got[1:], exp[1:], atol=1e-3)
 
 
+@pytest.mark.parametrize('case', [
+    # rough end massively underestimated: the open-end extension chain
+    # must run far past the speculation depth (window grows by 1000
+    # samples per depth -> ~8 extensions to cover the tail)
+    dict(seed=20, polya_len=9000, rough_end_at=1500),
+    dict(seed=21, polya_len=12000, rough_end_at=1200, spikes=2),
+    # shifted level + underestimated end: recalibration (range change)
+    # must interrupt the speculative chain and continue in real rounds
+    dict(seed=22, polya_len=8000, rough_end_at=1500, tail_level=100.0),
+])
+def test_extension_chains_match_oracle(polya_config, case):
+    case = dict(case)
+    seed = case.pop('seed')
+    rough_end_at = case.pop('rough_end_at')
+    rng = np.random.RandomState(seed)
+    adapter_len = 4000
+    sig = build_signal(rng, adapter_len=adapter_len, **case)
+    rough = (adapter_len // STRIDE, (adapter_len + rough_end_at) // STRIDE)
+
+    read = FakeRead(sig)
+    analyzer = PolyaAnalyzer(polya_config)
+    analyzer.process_batch([(read, rough)], STRIDE)
+
+    oracle = PolyaOracle(polya_config)
+    oracle(sig, RATE, rough, STRIDE)
+
+    if oracle.result is None:
+        assert read.polya is None
+    else:
+        assert read.polya is not None
+        assert read.polya['begin'] == oracle.result['begin']
+        assert read.polya['end'] == oracle.result['end']
+        assert abs(read.polya['dwell_time'] -
+                   oracle.result['dwell_time']) < 1e-6
+        assert len(read.polya['spikes']) == len(oracle.result['spikes'])
+
+
 def test_batch_of_mixed_reads(polya_config):
     """Several heterogeneous reads in ONE batch must each match their own
     sequential oracle result."""
