@@ -12,7 +12,6 @@ import os
 import sys
 
 import numpy as np
-import pandas as pd
 
 
 def albacore_available():
@@ -84,5 +83,5 @@ class AlbacoreBroker:
         }
 
     def adopt_basecalled_table(self, events):
-        table = pd.DataFrame(events)
-        return table
+        from .fast5 import EventTable
+        return EventTable.from_structured(np.asarray(events))

@@ -17,11 +17,51 @@ import os.path
 
 import h5py
 import numpy as np
-import pandas as pd
 from scipy.signal import medfilt
 
-__all__ = ['get_read_ids', 'Fast5Reader', 'Fast5FilePool',
+__all__ = ['get_read_ids', 'Fast5Reader', 'Fast5FilePool', 'EventTable',
            'DuplicatedReadError']
+
+
+class EventTable:
+    """Column-store basecalled-event table: a dict of aligned numpy arrays
+    with the tiny pandas-like surface the pipeline consumes. Replaces the
+    per-read ``pd.DataFrame`` the reference passed around
+    (poreplex/fast5_file.py:176, signal_analyzer.py:311-326) — DataFrame
+    construction and column insertion cost ~3 ms of BlockManager overhead
+    per read on the batch hot path."""
+
+    __slots__ = ('_cols',)
+
+    def __init__(self, cols=None):
+        self._cols = {}
+        for name, vals in (cols or {}).items():
+            self._cols[name] = np.asarray(vals)
+
+    @classmethod
+    def from_structured(cls, arr):
+        return cls({name: arr[name] for name in arr.dtype.names})
+
+    def __getitem__(self, name):
+        return self._cols[name]
+
+    def __setitem__(self, name, vals):
+        self._cols[name] = np.asarray(vals)
+
+    def __contains__(self, name):
+        return name in self._cols
+
+    def __len__(self):
+        for vals in self._cols.values():
+            return len(vals)
+        return 0
+
+    @property
+    def columns(self):
+        return list(self._cols)
+
+    def copy(self):
+        return EventTable(self._cols)
 
 
 class Fast5FilePool:
@@ -189,7 +229,8 @@ class Fast5Reader:
         """Dispatch between albacore Events and guppy Move encodings
         (poreplex/fast5_file.py:166-181)."""
         if 'BaseCalled_template/Events' in analyses:
-            evdf = pd.DataFrame(analyses['BaseCalled_template/Events'][()])
+            evdf = EventTable.from_structured(
+                analyses['BaseCalled_template/Events'][()])
         elif 'BaseCalled_template/Move' in analyses:
             evdf = self._events_from_moves(analyses, summary)
         else:
@@ -233,7 +274,7 @@ class Fast5Reader:
         base_qual = 1.0 - np.power(
             10.0, -(np.frombuffer(summary['qstring'].encode(), 'B') - 33) / 10)
 
-        return pd.DataFrame({
+        return EventTable({
             'model_state': kmers,
             'p_model_state': base_qual[pos + center_offset],
             'move': moves,

@@ -58,8 +58,8 @@ class UnsplitReadDetector:
         window_step = int(config['window_step'] * rate)
 
         ev = read.events
-        starts = ev['start'].to_numpy().astype(np.int64)
-        ends = ev['end'].to_numpy().astype(np.int64)
+        starts = np.asarray(ev['start'], np.int64)
+        ends = np.asarray(ev['end'], np.int64)
         last_end = int(ends[-1])
 
         windows = []
@@ -128,8 +128,7 @@ class UnsplitReadDetector:
                 break
             key = id(read)
             if key not in offsets:
-                vals = read.events['scaled_mean'].to_numpy()
-                vals = np.asarray(vals, np.float32)
+                vals = np.asarray(read.events['scaled_mean'], np.float32)
                 if used + len(vals) > len(stream):
                     if not chunk:
                         # one read larger than the stream: grow it
@@ -191,8 +190,8 @@ class UnsplitReadDetector:
             (_('strict_full_length'), _('strict_dna_length'))]
 
         ev = read.events
-        starts = ev['start'].to_numpy().astype(np.int64)
-        ends = ev['end'].to_numpy().astype(np.int64)
+        starts = np.asarray(ev['start'], np.int64)
+        ends = np.asarray(ev['end'], np.int64)
 
         excessive_adapters = []
         for (lo, hi), path in zip(windows, paths):
@@ -227,12 +226,23 @@ class UnsplitReadDetector:
             [[np.inf, np.inf]])
         basequality_cutoff = config['basecount_quality_limit']
 
+        pos_all = np.asarray(ev['pos'])
+        qual_all = np.asarray(ev['p_model_state'])
+
         def count_high_quality_reads(sel):
+            # per-position max of p_model_state over the selected events
+            # (pandas groupby('pos').max() in the reference,
+            # signal_analyzer.py:419-424); pos = cumsum(move) is
+            # non-decreasing and sel is a contiguous index range, so the
+            # groups are contiguous runs
             if len(sel) == 0:
                 return 0
-            tbl = ev.iloc[sel]
-            return int((tbl.groupby('pos')['p_model_state'].max() >
-                        basequality_cutoff).sum())
+            pos = pos_all[sel]
+            qual = qual_all[sel]
+            starts_at = np.nonzero(
+                np.concatenate([[True], pos[1:] != pos[:-1]]))[0]
+            grp_max = np.maximum.reduceat(qual, starts_at)
+            return int((grp_max > basequality_cutoff).sum())
 
         subread_lengths = []
         for (_l, left), (right, _r) in zip(adapter_intervals[0:],
