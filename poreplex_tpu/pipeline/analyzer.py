@@ -190,17 +190,23 @@ class BatchAnalyzer:
                 polya_items.append((rec, rough_range))
             survivors.append(rec)
 
+        # dispatch the first poly(A) round BEFORE the host-side event
+        # loading so the device round is in flight under the events/trim
+        # loop (event dumps read rec.polya, so they are deferred until the
+        # poly(A) wavefront completes)
+        polya_state = None
         if polya_items:
             try:
                 with trace('C:polya'):
-                    self.polya_analyzer.process_batch(polya_items,
-                                                      self.stride)
+                    polya_state = self.polya_analyzer.start_batch(
+                        polya_items, self.stride)
             except Exception:
                 # batched poly(A) failure must not take down the whole batch
                 traceback.print_exc()
 
         # basecall events + trim
         unsplit_jobs = []       # (rec, payload_start, windows)
+        dump_jobs = []          # (rec, events), written after poly(A)
         with trace('C:events_trim'):
             for rec in survivors:
                 if rec in failed:
@@ -208,7 +214,7 @@ class BatchAnalyzer:
                 try:
                     events = self._load_events(rec)
                     if self.config['dump_basecalls']:
-                        self._dump_events(rec, events, aux)
+                        dump_jobs.append((rec, events))
                     if self.config['trim_adapter']:
                         self._trim_adapter(rec, events)
                     if self.config['filter_unsplit_reads']:
@@ -224,6 +230,16 @@ class BatchAnalyzer:
                     err = self._pack_unhandled_exception(
                         rec.filename, rec.read_id, exc)
                     rec.set_error(err['status'], err['error_message'])
+
+        if polya_state is not None:
+            try:
+                with trace('C:polya'):
+                    self.polya_analyzer.finish_batch(polya_state,
+                                                     self.stride)
+            except Exception:
+                traceback.print_exc()
+        for rec, events in dump_jobs:
+            self._dump_events(rec, events, aux)
 
         # batched unsplit Viterbi
         if unsplit_jobs:

@@ -142,12 +142,37 @@ class PolyaAnalyzer:
         """items: list of (read, rough_range) where rough_range is
         (begin, end_or_None) in pooled-frame coordinates and ``read`` has
         .scaled_raw (f32 scaled pA signal) and .sampling_rate."""
+        self.finish_batch(self.start_batch(items, stride), stride)
+
+    def start_batch(self, items, stride):
+        """Dispatch the first round without awaiting anything, so the
+        caller can overlap host work (basecall-event loading) with the
+        device round in flight. Returns the opaque state for
+        finish_batch."""
         tasks = [_Task(read, rng[0], rng[1], None, 0)
                  for read, rng in items]
-        rounds = 0
+        if not tasks:
+            return (tasks, [], 1)
+        with trace('C:polya/window_build'):
+            for t in tasks:
+                self._build_window(t, stride)
+        with trace('C:polya/dispatch'):
+            launches = self._dispatch_round(tasks)
+        return (tasks, launches, 1)
+
+    def finish_batch(self, state, stride):
+        """Await the in-flight round and run the remaining wavefront
+        rounds to completion."""
+        tasks, launches, rounds = state
         while tasks and rounds <= self.maximum_openend_extension + 1:
-            tasks = self._run_round(tasks, stride)
+            tasks = self._collect_round(tasks, launches, stride)
             rounds += 1
+            if tasks:
+                with trace('C:polya/window_build'):
+                    for t in tasks:
+                        self._build_window(t, stride)
+                with trace('C:polya/dispatch'):
+                    launches = self._dispatch_round(tasks)
 
     # ------------------------------------------------------------------
     def _build_window(self, task, stride):
@@ -290,13 +315,7 @@ class PolyaAnalyzer:
             run()
 
     # ------------------------------------------------------------------
-    def _run_round(self, tasks, stride):
-        with trace('C:polya/window_build'):
-            for t in tasks:
-                self._build_window(t, stride)
-        with trace('C:polya/dispatch'):
-            launches = self._dispatch_round(tasks)
-
+    def _collect_round(self, tasks, launches, stride):
         for chunk, rows, blen, size, out in launches:
             key = ('round', rows, blen, size)
             stage = ('C:polya/await' if key in _SEEN_SHAPES
