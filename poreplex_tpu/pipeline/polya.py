@@ -59,8 +59,11 @@ _STREAM_SIZES = (1 << 19, 1 << 21)
 # capacity) while every overflow pays a ~100 ms host fallback dispatch
 _MAX_SPIKES = 128
 
-# speculative extension depth: rows submitted per task per round
-_SPEC_DEPTH = 4
+# speculative extension depth: rows submitted per task per round. Deep on
+# purpose: extra rows are ~45 ms of already-overlapped device compute per
+# 128-row chunk, while every chain that outruns the speculation costs a
+# real round trip that nothing overlaps
+_SPEC_DEPTH = 8
 
 
 def _bucket_len(n):
