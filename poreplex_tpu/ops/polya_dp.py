@@ -55,17 +55,23 @@ def dp_core(is_polya, length, n_events, spike_weight, spike_tolerance):
     col_match = jnp.trunc(col_match).astype(jnp.int32)
     spike_len = jnp.trunc(length).astype(jnp.int32)
 
-    # exclusive prefix sums: prefix[:, k] = sum of first k column scores
-    prefix = jnp.concatenate(
-        [jnp.zeros((batch, 1), jnp.int32),
-         jnp.cumsum(col_match, axis=1, dtype=jnp.int32)], axis=1)
+    # All running quantities in ONE log-depth associative scan. Explicit
+    # on purpose: jnp.cumsum/lax.cummax fused into a larger program lower
+    # to naive O(K * window) reduce-windows on TPU (~26 ms at [256, 1024]
+    # where this scan is ~0.3 ms).
+    is_spike = ~is_polya
+    incl, spike_cum = jax.lax.associative_scan(
+        lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        (col_match, jnp.where(is_spike, spike_len, 0)), axis=1)
+    # exclusive score prefix: prefix_ex[j] = sum of columns < j (exact
+    # integer arithmetic, so subtraction recovers it from the inclusive)
+    prefix_ex = incl - col_match
 
     # S[j]: spike-run cumulative length (uniform live-lane budget is
     # spike_tolerance - S[j]); segmented cumsum reset at poly(A) events
-    is_spike = ~is_polya
-    spike_cum = jnp.cumsum(jnp.where(is_spike, spike_len, 0), axis=1,
-                           dtype=jnp.int32)
-    run_offset = jax.lax.cummax(jnp.where(is_polya, spike_cum, 0), axis=1)
+    # via a running max of the spike_cum value at the last poly(A) column
+    run_offset = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_polya, spike_cum, 0), axis=1)
     S = jnp.where(is_spike, spike_cum - run_offset, 0)
 
     death = is_spike & (S > spike_tolerance)
@@ -74,7 +80,7 @@ def dp_core(is_polya, length, n_events, spike_weight, spike_tolerance):
     # joined on a poly(A) event, reset at every death column
     apack = jnp.where(
         is_polya & valid_j,
-        (prefix[:, :kmax] + _VOFF) * kmax + jj, _PACK_INF)
+        (prefix_ex + _VOFF) * kmax + jj, _PACK_INF)
 
     def combine(a, b):
         av, ar = a
@@ -91,7 +97,7 @@ def dp_core(is_polya, length, n_events, spike_weight, spike_tolerance):
     # uniform budget is strictly positive at j
     budget_pos = is_polya | (S < spike_tolerance)
     cand = valid_j & budget_pos & (runmin_pack < _PACK_INF)
-    val = jnp.where(cand, prefix[:, 1:] - runmin_val, INT_MIN)
+    val = jnp.where(cand, incl - runmin_val, INT_MIN)
 
     # row-major-first argmax: higher value, then smaller start lane i,
     # then earlier end column j

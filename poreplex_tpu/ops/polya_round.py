@@ -32,6 +32,7 @@ is below 1e-4 relative and only matters within float-rounding distance
 of the decision thresholds.
 """
 
+import functools
 from functools import partial
 
 import jax
@@ -204,8 +205,14 @@ def polya_round_core(stream, meta_i, meta_f, *, blen, window_length1,
              valid_ev)
     marked_len = jnp.sum(jnp.where(is_p2, length, 0.0), axis=1)
 
-    # both DPs in one call (stacked on the batch axis)
-    s_all, e_all, v_all = dp_core(
+    # both DPs in one call (stacked on the batch axis); the Pallas scan
+    # replaces the ~330-fusion associative-scan expansion on TPU
+    if use_pallas:
+        from .pallas_polya_dp import dp_pallas_core
+        dp = functools.partial(dp_pallas_core, interpret=interpret)
+    else:
+        dp = dp_core
+    s_all, e_all, v_all = dp(
         jnp.concatenate([is_p1, is_p2], axis=0),
         jnp.concatenate([length, length], axis=0),
         jnp.concatenate([n_events, n_events], axis=0),

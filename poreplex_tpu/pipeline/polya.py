@@ -44,8 +44,8 @@ _SEEN_SHAPES = set()
 # Deliberately COARSE: device compute is ~0.1-0.5 ms per launch while each
 # extra compiled shape costs 5-15 s of warmup over a tunnel-attached TPU,
 # and the token-packed stream means padding costs no upload bytes.
-_BUCKETS = (8192, 131072)
-_BUCKET_ROWS = {8192: 128, 131072: 16}
+_BUCKETS = (8192, 16384, 32768, 131072)
+_BUCKET_ROWS = {8192: 128, 16384: 64, 32768: 32, 131072: 16}
 
 # token-packed stream sizes (f32 elements): the shared window stream is
 # padded to the smallest fitting size so each bucket compiles against a

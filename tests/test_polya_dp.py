@@ -41,6 +41,25 @@ def test_random_cases_match_oracle(seed):
             assert (s[i], e[i]) == expected, f'case {i}'
 
 
+@pytest.mark.parametrize('seed', range(4))
+def test_pallas_dp_matches_xla_dp(seed):
+    """The Pallas sequential-scan DP (interpret mode on CPU) must be
+    bit-identical to the parallel XLA formulation."""
+    from poreplex_tpu.ops.pallas_polya_dp import dp_pallas
+    rng = np.random.RandomState(100 + seed)
+    B, K = 16, 1024
+    ip = rng.uniform(size=(B, K)) < 0.6
+    ln = rng.uniform(1, 300, (B, K)).astype(np.float32)
+    n = rng.randint(1, K + 1, B).astype(np.int32)
+    s1, e1, v1 = polya_dp.find_best_polya_interval(
+        jnp.asarray(ip), jnp.asarray(ln), jnp.asarray(n))
+    s2, e2, v2 = dp_pallas(jnp.asarray(ip), jnp.asarray(ln),
+                           jnp.asarray(n), interpret=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
 def test_all_spikes_returns_none():
     is_p = np.zeros(10, bool)
     length = np.full(10, 50.0, np.float32)
