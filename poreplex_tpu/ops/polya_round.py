@@ -145,20 +145,22 @@ def _decide(starts, length, mean, sub_stdv, n_events, is_p, s, e, v,
     return jnp.concatenate([head, spikes], axis=1)
 
 
-def polya_round_core(stream, meta_i, meta_f, *, blen, window_length1,
+def polya_round_core(stream, meta, *, blen, window_length1,
                      window_length2, threshold1, threshold2, peak_height,
                      max_peaks, spike_weight, spike_tolerance, max_spikes,
                      median_pre_filter, stdv_lo, stdv_hi, recal_max_dist,
                      recal_max_stdv, recal_zr, use_pallas, interpret):
-    """stream: [FLAT] f32 token-packed window signal; meta_i: [R, 3] i32
-    (offset, length, adapter_end); meta_f: [R, 2] f32 (rng_lo, rng_hi).
+    """stream: [FLAT] f32 token-packed window signal; meta: [R, 5] f32
+    (offset, length, adapter_end, rng_lo, rng_hi) — integer fields ride
+    the f32 array exactly (all < 2^24), so one upload carries the whole
+    side table (every extra transfer costs a ~25 ms tunnel round trip).
 
     Returns [R, pack_width(max_spikes)] f32."""
-    offset = meta_i[:, 0]
-    lengths = meta_i[:, 1]
-    adapter_end = meta_i[:, 2]
-    rng_lo = meta_f[:, 0]
-    rng_hi = meta_f[:, 1]
+    offset = meta[:, 0].astype(jnp.int32)
+    lengths = meta[:, 1].astype(jnp.int32)
+    adapter_end = meta[:, 2].astype(jnp.int32)
+    rng_lo = meta[:, 3]
+    rng_hi = meta[:, 4]
 
     j = jnp.arange(blen, dtype=jnp.int32)[None, :]
     idx = jnp.clip(offset[:, None] + j, 0, stream.shape[0] - 1)

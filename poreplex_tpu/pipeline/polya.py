@@ -45,7 +45,7 @@ _SEEN_SHAPES = set()
 # extra compiled shape costs 5-15 s of warmup over a tunnel-attached TPU,
 # and the token-packed stream means padding costs no upload bytes.
 _BUCKETS = (8192, 16384, 32768, 131072)
-_BUCKET_ROWS = {8192: 128, 16384: 64, 32768: 32, 131072: 16}
+_BUCKET_ROWS = {8192: 256, 16384: 128, 32768: 64, 131072: 16}
 
 # token-packed stream sizes (f32 elements): the shared window stream is
 # padded to the smallest fitting size so each bucket compiles against a
@@ -59,11 +59,10 @@ _STREAM_SIZES = (1 << 19, 1 << 21)
 # capacity) while every overflow pays a ~100 ms host fallback dispatch
 _MAX_SPIKES = 128
 
-# speculative extension depth: rows submitted per task per round. Deep on
-# purpose: extra rows are ~45 ms of already-overlapped device compute per
-# 128-row chunk, while every chain that outruns the speculation costs a
-# real round trip that nothing overlaps
-_SPEC_DEPTH = 8
+# speculative extension depth: rows submitted per task per round —
+# balances extra launch/compute cost per round against chains that
+# outrun the speculation and cost a real (un-overlapped) round trip
+_SPEC_DEPTH = 4
 
 
 def _bucket_len(n):
@@ -259,14 +258,13 @@ class PolyaAnalyzer:
                 rows = self._rows_for(blen)
                 for lo in range(0, len(entries), rows):
                     chunk = entries[lo:lo + rows]
-                    meta_i = np.zeros((rows, 3), np.int32)
-                    meta_f = np.zeros((rows, 2), np.float32)
+                    meta = np.zeros((rows, 5), np.float32)
                     for i, (t, r, off, length) in enumerate(chunk):
-                        meta_i[i] = (off, length, t.adapter_end)
-                        meta_f[i] = t.polya_range or self.polya_mean_cutoff
-                    mi, mf = self._put_meta(meta_i, meta_f)
+                        meta[i] = (off, length, t.adapter_end,
+                                   *(t.polya_range or self.polya_mean_cutoff))
+                    meta_dev, = self._put_meta(meta)
                     out = round_ops.polya_round(
-                        stream_dev, mi, mf, blen=blen,
+                        stream_dev, meta_dev, blen=blen,
                         **self._kernel_kwargs)
                     launches.append((chunk, rows, blen, size, out))
         return launches
@@ -282,10 +280,9 @@ class PolyaAnalyzer:
         repl = NamedSharding(self.sharding.mesh, P())
         return jax.device_put(jnp.asarray(stream), repl)
 
-    def _put_meta(self, meta_i, meta_f):
+    def _put_meta(self, *metas):
         from ..parallel.sharding import shard_batch_arrays
-        return shard_batch_arrays(self.sharding, self.n_devices,
-                                  meta_i, meta_f)
+        return shard_batch_arrays(self.sharding, self.n_devices, *metas)
 
     def warmup_jobs(self):
         """One zero-arg compile job per fused-round shape, so the analyzer
@@ -296,13 +293,11 @@ class PolyaAnalyzer:
                 n = min(blen, size)
                 stream = np.zeros(size, np.float32)
                 rows = self._rows_for(blen)
-                meta_i = np.zeros((rows, 3), np.int32)
-                meta_i[0] = (0, n, 0)
-                meta_f = np.zeros((rows, 2), np.float32)
-                meta_f[0] = self.polya_mean_cutoff
-                mi, mf = self._put_meta(meta_i, meta_f)
+                meta = np.zeros((rows, 5), np.float32)
+                meta[0] = (0, n, 0, *self.polya_mean_cutoff)
+                meta_dev, = self._put_meta(meta)
                 out = round_ops.polya_round(
-                    self._put_stream(stream), mi, mf, blen=blen,
+                    self._put_stream(stream), meta_dev, blen=blen,
                     **self._kernel_kwargs)
                 np.asarray(out)
                 _SEEN_SHAPES.add(('round', rows, blen, size))
