@@ -359,6 +359,15 @@ class BatchAnalyzer:
             axis=1, dtype=np.float32)
         rec.head_len = min(scaler.pooled_length, len(rec.pooled))
 
+        # prefetch the basecall table on the ingest thread: the HDF5 reads
+        # are the bulk of the events/trim cost and have no dependency on
+        # stage-1, so they come off the compute thread's critical path
+        # (the not_basecalled status is still raised in PHASE C, keeping
+        # the reference's status-precedence order). Skipped when albacore
+        # basecalls on the fly.
+        if self.albacore is None:
+            rec.bcall = f5.get_basecall()
+
     def _run_stage1(self, records):
         """Token-packed device dispatch: reads' pooled frames travel as one
         flat stream (engine.pack_stage1_flat), so the wire pays actual
@@ -411,7 +420,7 @@ class BatchAnalyzer:
         return events
 
     def _load_fast5_events(self, rec):
-        bcall = rec.fast5.get_basecall() if rec.fast5 else None
+        bcall = rec.bcall
         if bcall is None:
             raise SignalAnalysisError('not_basecalled')
         rec.sequence_length = bcall['sequence_length']

@@ -147,27 +147,44 @@ class PolyaAnalyzer:
         self.finish_batch(self.start_batch(items, stride), stride)
 
     def start_batch(self, items, stride):
-        """Dispatch the first round without awaiting anything, so the
-        caller can overlap host work (basecall-event loading) with the
-        device round in flight. Returns the opaque state for
-        finish_batch."""
+        """Dispatch the first round and start a pump thread that awaits +
+        downloads its results, so the round genuinely executes while the
+        caller does host work (over the tunnel, dispatched computations
+        only make progress while something is awaiting them). Returns the
+        opaque state for finish_batch."""
+        import threading
         tasks = [_Task(read, rng[0], rng[1], None, 0)
                  for read, rng in items]
         if not tasks:
-            return (tasks, [], 1)
+            return (tasks, [], 1, None, None)
         with trace('C:polya/window_build'):
             for t in tasks:
                 self._build_window(t, stride)
         with trace('C:polya/dispatch'):
             launches = self._dispatch_round(tasks)
-        return (tasks, launches, 1)
+
+        results = [None] * len(launches)
+
+        def pump():
+            for i, (chunk, rows, blen, size, out) in enumerate(launches):
+                results[i] = np.asarray(out)
+
+        pump_thread = threading.Thread(target=pump, daemon=True)
+        pump_thread.start()
+        return (tasks, launches, 1, pump_thread, results)
 
     def finish_batch(self, state, stride):
         """Await the in-flight round and run the remaining wavefront
         rounds to completion."""
-        tasks, launches, rounds = state
+        tasks, launches, rounds, pump_thread, results = state
         while tasks and rounds <= self.maximum_openend_extension + 1:
-            tasks = self._collect_round(tasks, launches, stride)
+            if pump_thread is not None:
+                with trace('C:polya/await'):
+                    pump_thread.join()
+                pump_thread = None
+            else:
+                results = None
+            tasks = self._collect_round(tasks, launches, stride, results)
             rounds += 1
             if tasks:
                 with trace('C:polya/window_build'):
@@ -313,14 +330,17 @@ class PolyaAnalyzer:
             run()
 
     # ------------------------------------------------------------------
-    def _collect_round(self, tasks, launches, stride):
-        for chunk, rows, blen, size, out in launches:
+    def _collect_round(self, tasks, launches, stride, results=None):
+        for li, (chunk, rows, blen, size, out) in enumerate(launches):
             key = ('round', rows, blen, size)
             stage = ('C:polya/await' if key in _SEEN_SHAPES
                      else 'C:polya/compile')
             _SEEN_SHAPES.add(key)
-            with trace(stage):
-                arr = np.asarray(out)
+            if results is not None and results[li] is not None:
+                arr = results[li]
+            else:
+                with trace(stage):
+                    arr = np.asarray(out)
             for i, (t, r, _, _) in enumerate(chunk):
                 t.results[r] = round_ops.RoundRow(arr[i], _MAX_SPIKES)
 

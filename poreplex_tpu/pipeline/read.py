@@ -40,7 +40,8 @@ class ReadRecord:
         self.pooled = None               # stride-pooled, scaled lazily
         self.head_len = 0                # scaler-head frames in pooled
         self.segments = None             # {state: (first, last)} pooled frames
-        self.events = None               # pandas event table
+        self.events = None               # EventTable (basecalled events)
+        self.bcall = None                # basecall dict prefetched on ingest
 
     # ---- status lattice (poreplex/signal_loader.py:130-136) ----
     def set_status(self, newstatus, stop=False):
@@ -77,6 +78,7 @@ class ReadRecord:
         self.raw_signal = None
         self.pooled = None
         self.events = None
+        self.bcall = None
 
     def report(self):
         """Result dict in the reference's format
