@@ -145,15 +145,21 @@ def _decide(starts, length, mean, sub_stdv, n_events, is_p, s, e, v,
     return jnp.concatenate([head, spikes], axis=1)
 
 
+META_COLS = 7
+
+
 def polya_round_core(stream, meta, *, blen, window_length1,
                      window_length2, threshold1, threshold2, peak_height,
                      max_peaks, spike_weight, spike_tolerance, max_spikes,
                      median_pre_filter, stdv_lo, stdv_hi, recal_max_dist,
                      recal_max_stdv, recal_zr, use_pallas, interpret):
-    """stream: [FLAT] f32 token-packed window signal; meta: [R, 5] f32
-    (offset, length, adapter_end, rng_lo, rng_hi) — integer fields ride
-    the f32 array exactly (all < 2^24), so one upload carries the whole
-    side table (every extra transfer costs a ~25 ms tunnel round trip).
+    """stream: [FLAT] u16 token-packed window signal, per-read affine
+    quantized exactly like the stage-1 wire (engine._quantize_stream);
+    meta: [R, 7] f32 (offset, length, adapter_end, rng_lo, rng_hi,
+    dequant_lo, dequant_step) — integer fields ride the f32 array exactly
+    (all < 2^24), so ONE upload carries the whole side table (every extra
+    transfer costs a ~25 ms tunnel round trip, and the u16 stream halves
+    the big one).
 
     Returns [R, pack_width(max_spikes)] f32."""
     offset = meta[:, 0].astype(jnp.int32)
@@ -161,10 +167,13 @@ def polya_round_core(stream, meta, *, blen, window_length1,
     adapter_end = meta[:, 2].astype(jnp.int32)
     rng_lo = meta[:, 3]
     rng_hi = meta[:, 4]
+    qlo = meta[:, 5:6]
+    qstep = meta[:, 6:7]
 
     j = jnp.arange(blen, dtype=jnp.int32)[None, :]
     idx = jnp.clip(offset[:, None] + j, 0, stream.shape[0] - 1)
-    sig = jnp.where(j < lengths[:, None], jnp.take(stream, idx), 0.0)
+    q = jnp.take(stream, idx).astype(jnp.float32)
+    sig = jnp.where(j < lengths[:, None], qlo + q * qstep, 0.0)
     sig = _medfilt_batch(sig, median_pre_filter)
 
     ev = detect_events_core(

@@ -235,13 +235,16 @@ class PolyaAnalyzer:
 
     # ------------------------------------------------------------------
     def _dispatch_round(self, tasks):
-        """Pack every task's window into shared f32 streams (ONE copy per
-        task — speculative rows reference the same offset with their own
-        lengths) and launch one fused kernel call per (stream, window
-        bucket, row chunk). Returns [(entries, rows, blen, size, handle)]
-        with every launch dispatched before any result is awaited."""
-        # assign tasks to streams; every spec row of a task points into
-        # its task's stream
+        """Pack every task's window into shared u16-quantized streams
+        (ONE copy per task — speculative rows reference the same offset
+        with their own lengths) and launch one fused kernel call per
+        (stream, window bucket, row chunk). The whole round costs TWO
+        uploads per stream: the quantized signal and one concatenated
+        meta table, sliced on device per launch. Returns
+        [(entries, rows, blen, size, handle)] with every launch dispatched
+        before any result is awaited."""
+        from .engine import DeviceEngine
+
         cap = _STREAM_SIZES[-1]
         stream_groups = []          # (total, [task, ...])
         cur, cur_total = [], 0
@@ -260,30 +263,56 @@ class PolyaAnalyzer:
             size = next((s for s in _STREAM_SIZES if s >= total), None)
             if size is None:        # a single oversized window
                 size = ((total + cap - 1) // cap) * cap
-            stream = np.zeros(size, np.float32)
-            offset = 0
+            stream = np.zeros(size, np.uint16)
+            qparams = np.zeros((len(group), 2), np.float32)
+            qparams[:, 1] = 1.0
+            DeviceEngine._quantize_stream(
+                [t.signal for t in group], stream, qparams, 65535)
             by_bucket = {}
-            for t in group:
-                n = len(t.signal)
-                stream[offset:offset + n] = t.signal
+            offset = 0
+            for gi, t in enumerate(group):
                 for r, (length, _) in enumerate(t.spec):
                     by_bucket.setdefault(_bucket_len(length), []).append(
-                        (t, r, offset, length))
-                offset += n
-            stream_dev = self._put_stream(stream)
+                        (t, r, offset, length, gi))
+                offset += len(t.signal)
+
+            # one concatenated meta table for the whole stream, padded to
+            # each launch's fixed row count and sliced on device
+            units = []
             for blen, entries in sorted(by_bucket.items()):
                 rows = self._rows_for(blen)
                 for lo in range(0, len(entries), rows):
-                    chunk = entries[lo:lo + rows]
-                    meta = np.zeros((rows, 5), np.float32)
-                    for i, (t, r, off, length) in enumerate(chunk):
-                        meta[i] = (off, length, t.adapter_end,
-                                   *(t.polya_range or self.polya_mean_cutoff))
-                    meta_dev, = self._put_meta(meta)
-                    out = round_ops.polya_round(
-                        stream_dev, meta_dev, blen=blen,
-                        **self._kernel_kwargs)
-                    launches.append((chunk, rows, blen, size, out))
+                    units.append((blen, rows, entries[lo:lo + rows]))
+            all_meta = np.zeros((sum(rows for _, rows, _ in units),
+                                 round_ops.META_COLS), np.float32)
+            all_meta[:, 6] = 1.0
+            base = 0
+            for blen, rows, chunk in units:
+                for i, (t, r, off, length, gi) in enumerate(chunk):
+                    all_meta[base + i] = (
+                        off, length, t.adapter_end,
+                        *(t.polya_range or self.polya_mean_cutoff),
+                        qparams[gi, 0], qparams[gi, 1])
+                base += rows
+
+            stream_dev = self._put_stream(stream)
+            sharded = self.sharding is not None and self.n_devices > 1
+            if not sharded:
+                import jax.numpy as jnp
+                meta_all_dev = jnp.asarray(all_meta)
+            base = 0
+            for blen, rows, chunk in units:
+                if sharded:
+                    meta_dev, = self._put_meta(
+                        all_meta[base:base + rows])
+                else:
+                    # device-side slice: no extra host->device transfer
+                    meta_dev = meta_all_dev[base:base + rows]
+                base += rows
+                out = round_ops.polya_round(
+                    stream_dev, meta_dev, blen=blen,
+                    **self._kernel_kwargs)
+                launches.append((chunk, rows, blen, size, out))
         return launches
 
     def _put_stream(self, stream):
@@ -308,10 +337,11 @@ class PolyaAnalyzer:
         def job(size, blen):
             def run():
                 n = min(blen, size)
-                stream = np.zeros(size, np.float32)
+                stream = np.zeros(size, np.uint16)
                 rows = self._rows_for(blen)
-                meta = np.zeros((rows, 5), np.float32)
-                meta[0] = (0, n, 0, *self.polya_mean_cutoff)
+                meta = np.zeros((rows, round_ops.META_COLS), np.float32)
+                meta[:, 6] = 1.0
+                meta[0] = (0, n, 0, *self.polya_mean_cutoff, 0.0, 1.0)
                 meta_dev, = self._put_meta(meta)
                 out = round_ops.polya_round(
                     self._put_stream(stream), meta_dev, blen=blen,
@@ -341,7 +371,8 @@ class PolyaAnalyzer:
             else:
                 with trace(stage):
                     arr = np.asarray(out)
-            for i, (t, r, _, _) in enumerate(chunk):
+            for i, entry in enumerate(chunk):
+                t, r = entry[0], entry[1]
                 t.results[r] = round_ops.RoundRow(arr[i], _MAX_SPIKES)
 
         next_tasks = []
@@ -443,8 +474,10 @@ class PolyaAnalyzer:
         import jax.numpy as jnp
         from ..ops import event_detection as ed
 
-        sig = _medfilt_host(t.signal[:insp_end - t.insp_begin],
-                            self.median_pre_filter)
+        # quantize the FULL window (the span the dispatch quantized) and
+        # slice after, so the affine matches the kernel's bit-for-bit
+        sig = _wire_roundtrip(t.signal)[:insp_end - t.insp_begin]
+        sig = _medfilt_host(sig, self.median_pre_filter)
         # pad to the window bucket so the dispatch reuses a bounded set of
         # compiled shapes (length masking makes the padding inert)
         true_len = len(sig)
@@ -476,6 +509,22 @@ class PolyaAnalyzer:
                     float(v) for v in mean[s + spk - 1:hi])
             spikes.append((float(length[s + spk]),) + neighborhood)
         return spikes
+
+
+def _wire_roundtrip(signal):
+    """Reproduce the u16 wire quantization on the host so the
+    spike-overflow fallback sees the exact signal the kernel saw.
+    Matches DeviceEngine._quantize_affine / the kernel's dequantization:
+    f32 arithmetic, per-window [min, max] affine, 65535 steps.
+
+    NOTE: the fallback quantizes the task's FULL window (the same span
+    the dispatch quantized), then slices — the affine is window-wide."""
+    if len(signal) == 0:
+        return signal
+    lo = np.float32(signal.min())
+    step = np.float32(max((float(signal.max()) - float(lo)) / 65535, 1e-7))
+    q = np.clip(np.round((signal - lo) / step), 0, 65535).astype(np.float32)
+    return (lo + q * step).astype(np.float32)
 
 
 def _medfilt_host(signal, k):
