@@ -35,6 +35,7 @@ class DemuxModel:
         self.loss_weights = np.asarray(data['loss_weights'])
         self.number_of_decoy_labels = int(number_of_decoy_labels)
         self.unroll = None   # scan unroll; resolved by the owning engine
+        self.use_pallas = False  # fused-recurrence kernel; engine-resolved
         self._apply = jax.jit(self._forward)
 
     def score_threshold(self, quality_threshold):
@@ -58,11 +59,17 @@ class DemuxModel:
     def _forward(self, signals):
         """signals: [B, T] normalized adapter windows -> softmax probs [B, 5]."""
         x = signals[..., None]
-        h = rnn.bidirectional_lstm(self.params['bilstm_fwd'],
-                                   self.params['bilstm_bwd'], x,
-                                   unroll=self.unroll)
-        h = rnn.lstm(self.params['lstm2'], h, return_sequences=False,
-                     unroll=self.unroll)
+        if self.use_pallas:
+            from ..ops import pallas_rnn
+            h = pallas_rnn.bidirectional_lstm_pallas(
+                self.params['bilstm_fwd'], self.params['bilstm_bwd'], x)
+            h = pallas_rnn.lstm_last_pallas(self.params['lstm2'], h)
+        else:
+            h = rnn.bidirectional_lstm(self.params['bilstm_fwd'],
+                                       self.params['bilstm_bwd'], x,
+                                       unroll=self.unroll)
+            h = rnn.lstm(self.params['lstm2'], h, return_sequences=False,
+                         unroll=self.unroll)
         logits = rnn.dense(self.params['dense'], h)
         return jax.nn.softmax(logits, axis=-1)
 

@@ -70,14 +70,22 @@ class ScalerModel:
             dtype=jnp.float32)
         self._xfrm = jnp.asarray(self.xfrm, dtype=jnp.float32)
         self.unroll = None   # scan unroll; resolved by the owning engine
+        self.use_pallas = False  # fused-recurrence kernel; engine-resolved
         self._apply = jax.jit(self._forward)
 
     def _forward(self, signal_heads):
         """signal_heads: [B, pooled_length] f32 -> (params [B,2], qc_ok [B])."""
         x = signal_heads[..., None]
-        # both LSTM layers fused into one scan (ops/rnn.py)
-        h = rnn.lstm2_stacked(self.params['lstm1'], self.params['lstm2'], x,
-                              unroll=self.unroll)
+        # both LSTM layers fused into one recurrence: a Pallas kernel with
+        # VMEM-resident state/weights on TPU, a lax.scan elsewhere
+        if self.use_pallas:
+            from ..ops import pallas_rnn
+            h = pallas_rnn.lstm2_stacked_pallas(
+                self.params['lstm1'], self.params['lstm2'], x)
+        else:
+            h = rnn.lstm2_stacked(self.params['lstm1'],
+                                  self.params['lstm2'], x,
+                                  unroll=self.unroll)
         pred = rnn.dense(self.params['dense'], h)          # [B, 2]
         scaling = pred * self._xfrm[:, 0] + self._xfrm[:, 1]
         qc_ok = jnp.all((scaling >= self._ranges[:, 0]) &

@@ -11,10 +11,11 @@ The input projection x @ W_in + b stays OUTSIDE the kernel as one large
 XLA GEMM over all timesteps (ops/rnn.py hoists it identically), so the
 kernel consumes pre-activations zx [T, B, 4H].
 
-Gate math matches ops/rnn.py bit-for-bit in structure: Keras [i, f, c, o]
-gate order, ``accurate_tanh`` (expm1 form), and full-f32 matmul precision
-(jax.lax.Precision.HIGHEST — the MXU 3-pass decomposition XLA uses).
-Parity with the XLA scans is pinned by tests/test_rnn.py.
+Gate math matches ops/rnn.py: Keras [i, f, c, o] gate order, a ~1e-7
+accurate tanh (exp form — Mosaic has no expm1 lowering), and full-f32
+matmul precision (jax.lax.Precision.HIGHEST — the MXU 3-pass
+decomposition XLA uses). Parity with the XLA scans is pinned by
+tests/test_rnn.py.
 """
 
 import functools
@@ -24,7 +25,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rnn import PRECISION, accurate_tanh
+from .rnn import PRECISION
+
+
+def _accurate_tanh(x):
+    """Mosaic-lowerable counterpart of ops.rnn.accurate_tanh (expm1 has no
+    Pallas TPU lowering): tanh|x| = (1 - exp(-2|x|)) / (1 + exp(-2|x|)).
+    The subtraction cancels against an exactly-representable 1.0, so the
+    absolute error stays ~3e-8 — three orders tighter than XLA's builtin
+    tanh approximation (~4e-5) that accurate_tanh exists to avoid."""
+    ax = jnp.minimum(jnp.abs(x), 20.0)
+    t = jnp.exp(-2.0 * ax)
+    return jnp.sign(x) * (1.0 - t) / (1.0 + t)
 
 # zx time-block byte budget: keeps the streamed pre-activation block well
 # inside VMEM next to the resident weights and state
@@ -49,10 +61,10 @@ def _dot(a, b):
 def _gates(z, c_prev, h4):
     i = jax.nn.sigmoid(z[:, 0 * h4:1 * h4])
     f = jax.nn.sigmoid(z[:, 1 * h4:2 * h4])
-    g = accurate_tanh(z[:, 2 * h4:3 * h4])
+    g = _accurate_tanh(z[:, 2 * h4:3 * h4])
     o = jax.nn.sigmoid(z[:, 3 * h4:4 * h4])
     c = f * c_prev + i * g
-    h = o * accurate_tanh(c)
+    h = o * _accurate_tanh(c)
     return h, c
 
 

@@ -121,8 +121,10 @@ class DeviceEngine:
             self._pallas_mode == 'auto' and platform == 'tpu')
         self.unroll = 8 if platform == 'tpu' else 1
         self.scaler.unroll = self.unroll
+        self.scaler.use_pallas = self.use_pallas
         if self.demux is not None:
             self.demux.unroll = self.unroll
+            self.demux.use_pallas = self.use_pallas
         self._stage1_packed = jax.jit(self._stage1_packed_impl)
         self._stage1_flat = jax.jit(self._stage1_flat_impl)
 

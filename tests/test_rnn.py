@@ -91,3 +91,40 @@ def test_lstm_masking_independence():
     out1 = np.asarray(rnn.lstm(params, jnp.asarray(x1)))
     out2 = np.asarray(rnn.lstm(params, jnp.asarray(x2)))
     np.testing.assert_array_equal(out1[0], out2[0])
+
+
+def test_pallas_lstm_kernels_match_xla():
+    """The Pallas fused-recurrence kernels (interpret mode on CPU) must be
+    bit-identical to the lax.scan formulations at unroll=1."""
+    from poreplex_tpu.ops import pallas_rnn
+    rng = np.random.RandomState(7)
+
+    def params(i, h):
+        return {
+            'kernel': jnp.asarray(
+                rng.normal(0, 0.3, (i, 4 * h)).astype(np.float32)),
+            'recurrent': jnp.asarray(
+                rng.normal(0, 0.3, (h, 4 * h)).astype(np.float32)),
+            'bias': jnp.asarray(
+                rng.normal(0, 0.1, (4 * h,)).astype(np.float32)),
+        }
+
+    # the kernels' exp-form tanh differs from expm1-form by ~1ulp; both
+    # are ~3 orders tighter than the XLA tanh the goldens tolerate
+    B, T = 4, 100
+    xs = jnp.asarray(rng.normal(0, 1, (B, T, 1)).astype(np.float32))
+    p1, p2 = params(1, 48), params(48, 48)
+    a = rnn.lstm2_stacked(p1, p2, xs, unroll=1)
+    b = pallas_rnn.lstm2_stacked_pallas(p1, p2, xs, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    pf, pb = params(1, 48), params(1, 48)
+    a = rnn.bidirectional_lstm(pf, pb, xs, unroll=1)
+    b = pallas_rnn.bidirectional_lstm_pallas(pf, pb, xs, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    p3 = params(96, 64)
+    xs2 = jnp.asarray(rng.normal(0, 1, (B, T, 96)).astype(np.float32))
+    a = rnn.lstm(p3, xs2, return_sequences=False, unroll=1)
+    b = pallas_rnn.lstm_last_pallas(p3, xs2, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
