@@ -182,7 +182,7 @@ class BatchAnalyzer:
                 demux_slots[rec] = stage1['demux_probs'][i]
 
             if self.config['measure_polya']:
-                rec.scaled_raw = self._scaled_raw_signal(rec)
+                # windows are scaled lazily via rec.scaled_slice
                 if 'polya-tail' in segments:
                     rough_range = segments['polya-tail']
                 else:
@@ -391,10 +391,6 @@ class BatchAnalyzer:
         return {k: np.concatenate([c[k][:cnt] for c, cnt in
                                    zip(chunks, counts)])[:n]
                 for k in chunks[0]}
-
-    def _scaled_raw_signal(self, rec):
-        scale, shift = rec.scaling_params
-        return np.asarray(rec.raw_signal * scale + shift, np.float32)
 
     def _scaled_pooled_signal(self, rec, scaling):
         scale, shift = scaling

@@ -197,8 +197,19 @@ class PolyaAnalyzer:
     def _build_window(self, task, stride):
         """Window arithmetic of poreplex/polya.py:50-63, plus the
         speculative rows: task.spec[r] = (length, insp_end) for extension
-        depth task.depth + r; the signal slice covers the LONGEST row."""
-        raw = task.read.scaled_raw
+        depth task.depth + r; the signal slice covers the LONGEST row.
+
+        Only the window is scaled: reads expose ``scaled_slice`` so the
+        host never multiplies the full raw signal for a ~15% window
+        (elementwise identical values either way)."""
+        read = task.read
+        slicer = getattr(read, 'scaled_slice', None)
+        if slicer is None:
+            raw = read.scaled_raw
+            full = len(raw)
+            slicer = lambda a, b: np.asarray(raw[a:b], np.float32)
+        else:
+            full = read.signal_length
         meu = self.openend_expansion // stride
         rough_begin, rough_end = task.rough_begin, task.rough_end
         if rough_end is None or rough_end - rough_begin < meu:
@@ -207,26 +218,25 @@ class PolyaAnalyzer:
 
         insp_begin = max(0, rough_begin * stride - self.refinement_expansion)
         task.insp_begin = insp_begin
-        task.full_length = len(raw)
+        task.full_length = full
         task.adapter_end = rough_begin * stride - insp_begin
 
         spec = []
         for r in range(_SPEC_DEPTH):
-            insp_end = min(len(raw), (rough_end + r * meu + 1) * stride +
+            insp_end = min(full, (rough_end + r * meu + 1) * stride +
                            self.refinement_expansion)
             spec.append((insp_end - insp_begin, insp_end))
             # row r+1 is consulted only when row r extends, which requires
             # an uncapped window and remaining extension budget; an
             # end-less rough range goes straight to recalibration where a
             # chain is never walked (the range changes)
-            if not (insp_end < len(raw) and
+            if not (insp_end < full and
                     task.depth + r < self.maximum_openend_extension and
                     not task.orig_end_none):
                 break
         task.spec = spec
         task.results = {}
-        task.signal = np.asarray(raw[insp_begin:insp_begin + spec[-1][0]],
-                                 np.float32)
+        task.signal = slicer(insp_begin, insp_begin + spec[-1][0])
 
     def _rows_for(self, blen):
         rows = _BUCKET_ROWS.get(blen, 8)

@@ -4,6 +4,8 @@ math happens in the batched device stages."""
 
 import os
 
+import numpy as np
+
 
 class ReadRecord:
 
@@ -57,6 +59,17 @@ class ReadRecord:
 
     def set_scaling_params(self, params):
         self.scaling_params = params
+
+    @property
+    def signal_length(self):
+        return len(self.raw_signal)
+
+    def scaled_slice(self, begin, end):
+        """Scaled pA signal over [begin, end) — computed per window so the
+        poly(A) path never scales the full read."""
+        scale, shift = self.scaling_params
+        return np.asarray(self.raw_signal[begin:end] * scale + shift,
+                          np.float32)
 
     def set_label(self, newlabel):
         self.label = newlabel
