@@ -55,7 +55,7 @@ def make_inputs(engine, n_reads, seed=7):
     return heads, pooled, pooled_len
 
 
-def bench_tpu(engine, pooled, pooled_len, inflight=4):
+def bench_tpu(engine, pooled, pooled_len, inflight=8):
     """Pipelined token-packed transport (what the analyzer uses): keeps
     `inflight` batches dispatched so wire uploads overlap compute."""
     n = len(pooled)

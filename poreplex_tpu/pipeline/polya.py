@@ -276,8 +276,9 @@ class PolyaAnalyzer:
             stream = np.zeros(size, np.uint16)
             qparams = np.zeros((len(group), 2), np.float32)
             qparams[:, 1] = 1.0
-            DeviceEngine._quantize_stream(
-                [t.signal for t in group], stream, qparams, 65535)
+            with trace('C:polya/quantize'):
+                DeviceEngine._quantize_stream(
+                    [t.signal for t in group], stream, qparams, 65535)
             by_bucket = {}
             offset = 0
             for gi, t in enumerate(group):
