@@ -63,12 +63,12 @@ class ShardedEngine:
         self.flat_sizes_dev = sorted(
             {max(min_dev, -(-s // D)) for s in engine.flat_sizes})
 
-        def flat_per_device(flat, meta, qparams):
-            out = engine._stage1_flat_impl(flat[0], meta[0], qparams[0])
+        def flat_per_device(flat, aux):
+            out = engine._stage1_flat_impl(flat[0], aux[0])
             return out[None]
 
         self._jit_flat = jax.jit(self._shard_mapped(flat_per_device,
-                                                    nargs=3))
+                                                    nargs=2))
 
     def _shard_mapped(self, fn, nargs):
         specs = (P(BATCH_AXIS),) * nargs
@@ -124,7 +124,8 @@ class ShardedEngine:
         eng = self.engine
         D, R = self.n_devices, self.rows_per_dev
         cap = self.flat_sizes_dev[-1]
-        meta = np.zeros((D, R, 4), np.int32)
+        aux = np.zeros((D, R, 6), np.float32)
+        aux[:, :, 5] = 1.0
         used = np.zeros(D, np.int64)
         chunks = [[] for _ in range(D)]
         n = 0
@@ -133,8 +134,8 @@ class ShardedEngine:
             stored = min(len(pooled), eng.wire_frames)
             if used[d] + stored > cap:
                 break
-            meta[d, n // D] = (used[d], min(plen, stored),
-                               min(hlen, stored), 1)
+            aux[d, n // D, :4] = (used[d], min(plen, stored),
+                                  min(hlen, stored), 1)
             chunks[d].append(pooled[:stored])
             used[d] += stored
             n += 1
@@ -143,18 +144,15 @@ class ShardedEngine:
         dtype, qmax = ((np.uint8, 254) if eng.wire_fast
                        else (np.uint16, 65535))
         flat = np.zeros((D, size), dtype)
-        qparams = np.zeros((D, R, 2), np.float32)
-        qparams[:, :, 1] = 1.0
         for d in range(D):
-            eng._quantize_stream(chunks[d], flat[d], qparams[d], qmax)
-        return (flat, meta, qparams), n
+            eng._quantize_stream(chunks[d], flat[d], aux[d, :, 4:], qmax)
+        return (flat, aux), n
 
     def dispatch_stage1_flat(self, wire):
-        flat, meta, qparams = wire
+        flat, aux = wire
         import jax.numpy as jnp
         args = (jax.device_put(jnp.asarray(flat), self._sharding),
-                jax.device_put(jnp.asarray(meta), self._sharding),
-                jax.device_put(jnp.asarray(qparams), self._sharding))
+                jax.device_put(jnp.asarray(aux), self._sharding))
         with self.mesh:
             return self._jit_flat(*args)
 
@@ -171,7 +169,7 @@ class ShardedEngine:
         D, R = self.n_devices, self.rows_per_dev
         dtype = np.uint8 if self.engine.wire_fast else np.uint16
         for size in self.flat_sizes_dev:
-            wire = (np.zeros((D, size), dtype),
-                    np.zeros((D, R, 4), np.int32),
-                    np.ones((D, R, 2), np.float32))
+            aux = np.zeros((D, R, 6), np.float32)
+            aux[:, :, 5] = 1.0
+            wire = (np.zeros((D, size), dtype), aux)
             self.collect_stage1_flat(self.dispatch_stage1_flat(wire))
