@@ -123,14 +123,20 @@ class BatchAnalyzer:
 
     # ------------------------------------------------------------------
     def load_batch(self, reads):
-        """PHASE A only (host FAST5 ingest); safe to run on an I/O thread
-        while the previous batch occupies the device. Returns the opaque
-        preloaded state for analyze_batch."""
+        """PHASE A (host FAST5 ingest) plus the stage-1 dispatch: both are
+        safe on an ingest thread while the previous batch occupies the
+        compute thread, so the batch arrives at process_batch with its
+        device stage already in flight (a pump thread keeps the tunneled
+        computation progressing). Returns the opaque preloaded state."""
         results = []
         records = []
         with trace('A:fast5_load'):
             self._phase_a(reads, results, records)
-        return results, records
+        stage1_state = None
+        if records:
+            with trace('A:stage1_dispatch'):
+                stage1_state = self._dispatch_stage1(records)
+        return results, records, stage1_state
 
     def process_batch(self, batchid, reads, preloaded=None):
         """reads: list of (fast5_filename, read_id).
@@ -139,7 +145,8 @@ class BatchAnalyzer:
         the output of load_batch to skip PHASE A."""
         if preloaded is None:
             preloaded = self.load_batch(reads)
-        results, records = preloaded
+        results, records = preloaded[0], preloaded[1]
+        stage1_state = preloaded[2] if len(preloaded) > 2 else None
         aux = {'adapter_dumps': [], 'event_dumps': []}
 
         if not records:
@@ -147,7 +154,9 @@ class BatchAnalyzer:
 
         # ---- PHASE B: device stage 1 ----
         with trace('B:device_stage1'):
-            stage1 = self._run_stage1(records)
+            if stage1_state is None:
+                stage1_state = self._dispatch_stage1(records)
+            stage1 = self._collect_stage1(records, stage1_state)
 
         for i, rec in enumerate(records):
             if not stage1['qc_ok'][i]:
@@ -368,12 +377,14 @@ class BatchAnalyzer:
         if self.albacore is None:
             rec.bcall = f5.get_basecall()
 
-    def _run_stage1(self, records):
+    def _dispatch_stage1(self, records):
         """Token-packed device dispatch: reads' pooled frames travel as one
         flat stream (engine.pack_stage1_flat), so the wire pays actual
         frames instead of [B, seg_frames] padding. All sub-batches are
-        dispatched before any result is awaited, overlapping uploads with
-        device compute."""
+        dispatched before any result is awaited, and a daemon pump thread
+        collects them (the tunneled computation only progresses while
+        something awaits it). Returns opaque state for _collect_stage1."""
+        import threading
         frames = self.engine.seg_frames
         reads = [(rec.pooled,
                   min(len(rec.pooled), frames),
@@ -385,8 +396,21 @@ class BatchAnalyzer:
             handles.append(self.stage1.dispatch_stage1_flat(wire))
             counts.append(n)
             reads = reads[n:]
-        chunks = [self.stage1.collect_stage1_flat(h)
-                  for h in handles]
+        chunks = [None] * len(handles)
+
+        def pump():
+            for i, h in enumerate(handles):
+                chunks[i] = self.stage1.collect_stage1_flat(h)
+
+        pump_thread = threading.Thread(target=pump, daemon=True)
+        pump_thread.start()
+        return handles, counts, chunks, pump_thread
+
+    def _collect_stage1(self, records, state):
+        handles, counts, chunks, pump_thread = state
+        pump_thread.join()
+        if any(c is None for c in chunks):      # pump died on an error
+            chunks = [self.stage1.collect_stage1_flat(h) for h in handles]
         n = len(records)
         return {k: np.concatenate([c[k][:cnt] for c, cnt in
                                    zip(chunks, counts)])[:n]
