@@ -123,20 +123,20 @@ class BatchAnalyzer:
 
     # ------------------------------------------------------------------
     def load_batch(self, reads):
-        """PHASE A (host FAST5 ingest) plus the stage-1 dispatch: both are
-        safe on an ingest thread while the previous batch occupies the
-        compute thread, so the batch arrives at process_batch with its
-        device stage already in flight (a pump thread keeps the tunneled
-        computation progressing). Returns the opaque preloaded state."""
+        """PHASE A only (host FAST5 ingest); safe to run on an ingest
+        thread while the previous batch occupies the compute thread.
+        Returns the opaque preloaded state for process_batch.
+
+        Deliberately does NOT dispatch stage-1 from here: with several
+        ingest threads racing ahead, the prefetched stage-1 programs of
+        future batches queue in front of the current batch's poly(A)
+        rounds on the single device and its tunnel, inflating the
+        critical path (~+6s on the 2048-read bench, measured twice)."""
         results = []
         records = []
         with trace('A:fast5_load'):
             self._phase_a(reads, results, records)
-        stage1_state = None
-        if records:
-            with trace('A:stage1_dispatch'):
-                stage1_state = self._dispatch_stage1(records)
-        return results, records, stage1_state
+        return results, records, None
 
     def process_batch(self, batchid, reads, preloaded=None):
         """reads: list of (fast5_filename, read_id).
@@ -243,12 +243,14 @@ class BatchAnalyzer:
         if polya_state is not None:
             try:
                 with trace('C:polya'):
-                    self.polya_analyzer.finish_batch(polya_state,
-                                                     self.stride)
+                    # collect round 1 (in flight since before the events
+                    # loop) and leave round 2, if any, riding under the
+                    # unsplit phase
+                    polya_state = self.polya_analyzer.advance(
+                        polya_state, self.stride)
             except Exception:
+                polya_state = None
                 traceback.print_exc()
-        for rec, events in dump_jobs:
-            self._dump_events(rec, events, aux)
 
         # batched unsplit Viterbi
         if unsplit_jobs:
@@ -272,6 +274,18 @@ class BatchAnalyzer:
                         err = self._pack_unhandled_exception(
                             rec.filename, rec.read_id, exc)
                         rec.set_error(err['status'], err['error_message'])
+
+        # drain the remaining poly(A) rounds, then write the deferred
+        # event dumps (their attrs read rec.polya)
+        if polya_state is not None:
+            try:
+                with trace('C:polya'):
+                    self.polya_analyzer.finish_batch(polya_state,
+                                                     self.stride)
+            except Exception:
+                traceback.print_exc()
+        for rec, events in dump_jobs:
+            self._dump_events(rec, events, aux)
 
         # sequence length filter + labels
         for rec in survivors:

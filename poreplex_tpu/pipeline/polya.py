@@ -151,18 +151,21 @@ class PolyaAnalyzer:
         downloads its results, so the round genuinely executes while the
         caller does host work (over the tunnel, dispatched computations
         only make progress while something is awaiting them). Returns the
-        opaque state for finish_batch."""
-        import threading
+        opaque state for advance/finish_batch, or None when there is
+        nothing to do."""
         tasks = [_Task(read, rng[0], rng[1], None, 0)
                  for read, rng in items]
         if not tasks:
-            return (tasks, [], 1, None, None)
+            return None
+        return self._dispatch_pumped(tasks, stride, 1)
+
+    def _dispatch_pumped(self, tasks, stride, rounds):
+        import threading
         with trace('C:polya/window_build'):
             for t in tasks:
                 self._build_window(t, stride)
         with trace('C:polya/dispatch'):
             launches = self._dispatch_round(tasks)
-
         results = [None] * len(launches)
 
         def pump():
@@ -171,27 +174,27 @@ class PolyaAnalyzer:
 
         pump_thread = threading.Thread(target=pump, daemon=True)
         pump_thread.start()
-        return (tasks, launches, 1, pump_thread, results)
+        return (tasks, launches, results, pump_thread, rounds)
+
+    def advance(self, state, stride):
+        """Collect the in-flight round, replay its decisions, and dispatch
+        the next round (with its own pump) if any tasks extend past the
+        speculation. Returns the new state or None when the wavefront is
+        done — callers interleave host/device work between advances."""
+        if state is None:
+            return None
+        tasks, launches, results, pump_thread, rounds = state
+        with trace('C:polya/await'):
+            pump_thread.join()
+        tasks = self._collect_round(tasks, launches, stride, results)
+        if not tasks or rounds > self.maximum_openend_extension:
+            return None
+        return self._dispatch_pumped(tasks, stride, rounds + 1)
 
     def finish_batch(self, state, stride):
-        """Await the in-flight round and run the remaining wavefront
-        rounds to completion."""
-        tasks, launches, rounds, pump_thread, results = state
-        while tasks and rounds <= self.maximum_openend_extension + 1:
-            if pump_thread is not None:
-                with trace('C:polya/await'):
-                    pump_thread.join()
-                pump_thread = None
-            else:
-                results = None
-            tasks = self._collect_round(tasks, launches, stride, results)
-            rounds += 1
-            if tasks:
-                with trace('C:polya/window_build'):
-                    for t in tasks:
-                        self._build_window(t, stride)
-                with trace('C:polya/dispatch'):
-                    launches = self._dispatch_round(tasks)
+        """Run the remaining wavefront rounds to completion."""
+        while state is not None:
+            state = self.advance(state, stride)
 
     # ------------------------------------------------------------------
     def _build_window(self, task, stride):
