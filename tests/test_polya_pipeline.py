@@ -127,6 +127,34 @@ def test_extension_chains_match_oracle(polya_config, case):
         assert len(read.polya['spikes']) == len(oracle.result['spikes'])
 
 
+def test_spike_overflow_fallback_matches_oracle(polya_config, monkeypatch):
+    """With the spike table shrunk to 2 slots, a spiky tail must take the
+    host fallback (standalone detection kernel + quantizer round-trip)
+    and still reproduce the oracle's spike tuples exactly."""
+    from poreplex_tpu.pipeline import polya as polya_mod
+    monkeypatch.setattr(polya_mod, '_MAX_SPIKES', 2)
+
+    rng = np.random.RandomState(33)
+    sig = build_signal(rng, polya_len=3500, spikes=3)
+    rough = rough_range_for(4000, 3500)
+    read = FakeRead(sig)
+    analyzer = PolyaAnalyzer(polya_config)
+    analyzer.process_batch([(read, rough)], STRIDE)
+
+    oracle = PolyaOracle(polya_config)
+    oracle(sig, RATE, rough, STRIDE)
+    if oracle.result is None:
+        assert read.polya is None
+        return
+    assert read.polya is not None
+    assert read.polya['begin'] == oracle.result['begin']
+    assert read.polya['end'] == oracle.result['end']
+    assert len(read.polya['spikes']) == len(oracle.result['spikes'])
+    for got, exp in zip(read.polya['spikes'], oracle.result['spikes']):
+        assert got[0] == exp[0]
+        np.testing.assert_allclose(got[1:], exp[1:], atol=1e-3)
+
+
 def test_batch_of_mixed_reads(polya_config):
     """Several heterogeneous reads in ONE batch must each match their own
     sequential oracle result."""
