@@ -16,8 +16,24 @@ the reference reader (poreplex/fast5_file.py):
 import os.path
 
 import h5py
+from h5py import h5a, h5o
 import numpy as np
 from scipy.signal import medfilt
+
+
+def _read_attrs(handle, path, names):
+    """Read named attributes of one object through the low-level h5py API:
+    the high-level ``group[...].attrs[...]`` path costs ~120 us per access
+    in proxy-object construction, which dominates FAST5 ingest at
+    ~15 attribute reads per read."""
+    oid = h5o.open(handle.id, path.encode())
+    out = []
+    for name in names:
+        aid = h5a.open(oid, name.encode())
+        arr = np.empty(aid.shape, dtype=aid.dtype)
+        aid.read(arr)
+        out.append(arr[()] if arr.shape == () else arr)
+    return out
 
 __all__ = ['get_read_ids', 'Fast5Reader', 'Fast5FilePool', 'EventTable',
            'DuplicatedReadError']
@@ -158,26 +174,32 @@ class Fast5Reader:
             self.handle = None
 
     def _load_metadata(self):
-        sigattrs = self.handle[self.read_node].attrs
-        self.duration = int(sigattrs['duration'])
-        self.start_time = int(sigattrs['start_time'])
-        file_read_id = _decode(sigattrs['read_id'])
+        duration, start_time, read_id = _read_attrs(
+            self.handle, self.read_node,
+            ('duration', 'start_time', 'read_id'))
+        self.duration = int(duration)
+        self.start_time = int(start_time)
+        file_read_id = _decode(read_id)
         if self.read_id is None:
             self.read_id = file_read_id
         elif file_read_id != self.read_id:
             raise ValueError('Unexpected read {} found in {}'.format(
                 file_read_id, self.path))
 
-        chanattrs = self.handle[self.channel_node].attrs
-        self.channel_number = _decode(chanattrs['channel_number'])
-        self.digitisation = float(chanattrs['digitisation'])
-        self.offset = float(chanattrs['offset'])
-        self.range = float(chanattrs['range'])
-        self.sampling_rate = float(chanattrs['sampling_rate'])
+        channel, digitisation, offset, rng, rate = _read_attrs(
+            self.handle, self.channel_node,
+            ('channel_number', 'digitisation', 'offset', 'range',
+             'sampling_rate'))
+        self.channel_number = _decode(channel)
+        self.digitisation = float(digitisation)
+        self.offset = float(offset)
+        self.range = float(rng)
+        self.sampling_rate = float(rate)
 
-        trackattrs = self.handle[self.tracking_node].attrs
-        self.run_id = _decode(trackattrs['run_id'])
-        self.sample_id = _decode(trackattrs['sample_id'])
+        run_id, sample_id = _read_attrs(self.handle, self.tracking_node,
+                                        ('run_id', 'sample_id'))
+        self.run_id = _decode(run_id)
+        self.sample_id = _decode(sample_id)
 
     def get_raw_data(self, start=None, end=None):
         """Raw signal slice converted to picoamperes
@@ -205,22 +227,28 @@ class Fast5Reader:
 
         analyses = analnode[max(groups)]
         groupno = analyses.name.rsplit('_', 1)[-1]
-        segattrs = analnode[
-            'Segmentation_{}/Summary/segmentation'.format(groupno)].attrs
         summary = {}
 
         fastqenc = _decode(analyses['BaseCalled_template/Fastq'][()]).split('\n')
         summary['sequence'] = fastqenc[1]
         summary['qstring'] = fastqenc[3]
 
-        summaryattrs = analyses[
-            'Summary/{}_template'.format(analysis_group.lower())].attrs
-        summary['block_stride'] = int(summaryattrs.get('block_stride', 15))
-        summary['sequence_length'] = int(summaryattrs['sequence_length'])
-        summary['mean_qscore'] = float(summaryattrs['mean_qscore'])
-        summary['num_events'] = int(segattrs['num_events_template'])
-        summary['first_sample_template'] = int(
-            segattrs['first_sample_template'])
+        num_events, first_sample = _read_attrs(
+            analnode, 'Segmentation_{}/Summary/segmentation'.format(groupno),
+            ('num_events_template', 'first_sample_template'))
+        summary_path = 'Summary/{}_template'.format(analysis_group.lower())
+        sequence_length, mean_qscore = _read_attrs(
+            analyses, summary_path, ('sequence_length', 'mean_qscore'))
+        summary_oid = h5o.open(analyses.id, summary_path.encode())
+        if h5a.exists(summary_oid, b'block_stride'):
+            stride, = _read_attrs(analyses, summary_path, ('block_stride',))
+        else:
+            stride = 15
+        summary['block_stride'] = int(stride)
+        summary['sequence_length'] = int(sequence_length)
+        summary['mean_qscore'] = float(mean_qscore)
+        summary['num_events'] = int(num_events)
+        summary['first_sample_template'] = int(first_sample)
 
         summary['events'] = self._load_events(analyses, summary)
         return summary
