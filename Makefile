@@ -11,9 +11,17 @@ $(LIB): src/sigproc.cc
 	$(CXX) $(CXXFLAGS) -shared -o $@ $<
 
 clean:
-	rm -f $(LIB)
+	rm -f $(LIB) $(LIBDIR)/libpptpu_sigproc_chaos.so
+
+# fault-injection build (counterpart of the reference's dormant
+# CHAOSMONKEY macros, src/contrib/scrappie/scrappie_stdlib.h): 5% of
+# allocations fail; the C ABI returns error sentinels instead of crashing
+chaos: src/sigproc.cc
+	mkdir -p $(LIBDIR)
+	$(CXX) $(CXXFLAGS) -DCHAOSMONKEY=0.05 -shared \
+	    -o $(LIBDIR)/libpptpu_sigproc_chaos.so $<
 
 test: all
 	python -m pytest tests/ -x -q
 
-.PHONY: all clean test
+.PHONY: all clean chaos test

@@ -18,6 +18,40 @@
 #include <limits>
 #include <vector>
 
+#ifdef CHAOSMONKEY
+// Fault-injection build, mirroring the reference's vendored testing aid
+// (src/contrib/scrappie/scrappie_stdlib.h:10-27: -DCHAOSMONKEY=p makes
+// allocations randomly fail with a warning). Here the global operator new
+// throws bad_alloc with probability CHAOSMONKEY; the C-ABI entry points
+// catch it and return the library's error sentinel (-1), so callers'
+// failure paths are exercised instead of aborting the process. Not wired
+// into the default build — `make chaos` produces the injected library.
+#include <cstdio>
+#include <cstdlib>
+#include <new>
+
+void* operator new(std::size_t size) {
+  if (std::rand() < static_cast<double>(CHAOSMONKEY) * RAND_MAX) {
+    std::fprintf(stderr,
+                 "chaosmonkey: failing allocation of %zu bytes\n", size);
+    throw std::bad_alloc();
+  }
+  void* ptr = std::malloc(size ? size : 1);
+  if (ptr == nullptr) throw std::bad_alloc();
+  return ptr;
+}
+
+void operator delete(void* ptr) noexcept { std::free(ptr); }
+void operator delete(void* ptr, std::size_t) noexcept { std::free(ptr); }
+
+#define PPTPU_TRY try {
+#define PPTPU_CATCH(errval) \
+  } catch (const std::bad_alloc&) { return (errval); }
+#else
+#define PPTPU_TRY
+#define PPTPU_CATCH(errval)
+#endif
+
 namespace {
 
 struct Detector {
@@ -135,6 +169,7 @@ int64_t pptpu_detect_events(const float* signal, int64_t n,
                             int64_t* ev_start, float* ev_length,
                             float* ev_mean, float* ev_stdv) {
   if (n <= 0) return 0;
+  PPTPU_TRY
   std::vector<double> sum, sumsq;
   prefix_sums(signal, static_cast<std::size_t>(n), &sum, &sumsq);
   auto tstat1 = windowed_tstat(sum, sumsq, n, window_length1);
@@ -172,6 +207,7 @@ int64_t pptpu_detect_events(const float* signal, int64_t n,
     ++count;
   }
   return count;
+  PPTPU_CATCH(static_cast<int64_t>(-1))
 }
 
 // Stride-mean pooling: out[i] = mean(signal[i*stride : (i+1)*stride]).
@@ -210,6 +246,7 @@ double pptpu_viterbi(const float* obs, int64_t n, int64_t nstates,
                      const double* sigmas, const double* logws,
                      int32_t* path) {
   if (n <= 0) return 0.0;
+  PPTPU_TRY
   const double neg_inf = -1e300;
   const double log_2pi = std::log(2.0 * 3.14159265358979323846);
 
@@ -279,6 +316,7 @@ double pptpu_viterbi(const float* obs, int64_t n, int64_t nstates,
     path[t - 1] = bp[t * nstates + path[t]];
   }
   return best;
+  PPTPU_CATCH(-std::numeric_limits<double>::infinity())
 }
 
 }  // extern "C"
