@@ -65,12 +65,15 @@ def _to_dac(pa):
 def simulate_read(rng, transcript_len=9000, polya_len=2500, adapter_len=5500,
                   preleader_len=700, leader_len=900, seq_per_event=0.35,
                   read_id=None, noise=1.0, polya_spikes=0,
-                  extra_adapter_at=None):
+                  extra_adapter_at=None, barcode=None):
     """Generate one synthetic read.
 
     Durations are in raw samples. ``extra_adapter_at`` (fraction of
     transcript) injects a second leader+adapter inside the transcript to
     create a pseudo-fusion (unsplit) read for chimera-filter testing.
+    ``barcode`` (0..3) modulates the adapter segment with that barcode's
+    characteristic low-frequency signature (training.data.BARCODE_FREQS),
+    emulating a barcoded control run for demux-training workflows.
     """
     read_id = read_id or str(uuid.uuid4())
     parts = []
@@ -87,6 +90,14 @@ def simulate_read(rng, transcript_len=9000, polya_len=2500, adapter_len=5500,
     for state, dur in layout:
         mu, sd = STATE_LEVELS[state]
         seg = rng.normal(mu, sd * noise, dur)
+        if state == 'adapter' and barcode is not None:
+            from .training.data import BARCODE_AMPS, BARCODE_FREQS
+            # the demux window covers the last 300 POOLED frames, so the
+            # signature rides at the pooled-frame frequency (stride 15)
+            t = np.arange(dur) / 15.0
+            seg += BARCODE_AMPS[barcode] * np.sin(
+                2 * np.pi * BARCODE_FREQS[barcode] * t +
+                rng.uniform(0, 2 * np.pi))
         if state == 'polya-tail' and polya_spikes:
             for _ in range(polya_spikes):
                 at = rng.randint(dur // 4, 3 * dur // 4)
