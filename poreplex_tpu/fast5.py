@@ -201,14 +201,29 @@ class Fast5Reader:
         self.run_id = _decode(run_id)
         self.sample_id = _decode(sample_id)
 
-    def get_raw_data(self, start=None, end=None):
-        """Raw signal slice converted to picoamperes
+    @property
+    def pa_scale(self):
+        """pA per DAC step; pA = pa_scale * (dac + offset)
         (poreplex/fast5_file.py:122-131)."""
+        return self.range / self.digitisation
+
+    def get_raw_dac(self, start=None, end=None):
+        """Raw signal slice in instrument DAC units, dtype as stored
+        (i16 in every ONT layout). The pA conversion is the per-read
+        affine ``pa_scale * (dac + offset)`` — keeping the integers lets
+        the pipeline fold that affine into the wire dequantization and
+        ship DAC losslessly instead of converting every sample on the
+        host."""
         signode = self.handle[self.read_node + '/Signal']
         if end is None or end > len(signode):
             end = len(signode)
         start = start or 0
-        raw = signode[start:end]
+        return signode[start:end]
+
+    def get_raw_data(self, start=None, end=None):
+        """Raw signal slice converted to picoamperes
+        (poreplex/fast5_file.py:122-131)."""
+        raw = self.get_raw_dac(start, end)
         return np.asarray(self.range / self.digitisation * (raw + self.offset),
                           dtype=np.float32)
 

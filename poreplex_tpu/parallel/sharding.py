@@ -59,9 +59,8 @@ class ShardedEngine:
         # addressed: read k of a dispatch lives at device k % D, row k // D.
         D = self.n_devices
         self.rows_per_dev = -(-engine.batch_rows // D)
-        min_dev = engine.wire_frames + 1
-        self.flat_sizes_dev = sorted(
-            {max(min_dev, -(-s // D)) for s in engine.flat_sizes})
+        self.flat_size_dev = max(engine.wire_frames + 1,
+                                 -(-engine.flat_size // D))
 
         def flat_per_device(flat, aux):
             out = engine._stage1_flat_impl(flat[0], aux[0])
@@ -123,7 +122,7 @@ class ShardedEngine:
         implicit)."""
         eng = self.engine
         D, R = self.n_devices, self.rows_per_dev
-        cap = self.flat_sizes_dev[-1]
+        cap = self.flat_size_dev
         aux = np.zeros((D, R, 6), np.float32)
         aux[:, :, 5] = 1.0
         used = np.zeros(D, np.int64)
@@ -139,11 +138,10 @@ class ShardedEngine:
             chunks[d].append(pooled[:stored])
             used[d] += stored
             n += 1
-        size = next(s for s in self.flat_sizes_dev if s >= used.max())
 
         dtype, qmax = ((np.uint8, 254) if eng.wire_fast
                        else (np.uint16, 65535))
-        flat = np.zeros((D, size), dtype)
+        flat = np.zeros((D, cap), dtype)
         for d in range(D):
             eng._quantize_stream(chunks[d], flat[d], aux[d, :, 4:], qmax)
         return (flat, aux), n
@@ -164,12 +162,11 @@ class ShardedEngine:
         return self.engine._unpack_stage1(rows)
 
     def warmup(self):
-        """Compile the sharded token-packed stage-1 program for every
-        per-device flat size up front (mirrors DeviceEngine.warmup)."""
+        """Compile the sharded token-packed stage-1 program up front
+        (mirrors DeviceEngine.warmup)."""
         D, R = self.n_devices, self.rows_per_dev
         dtype = np.uint8 if self.engine.wire_fast else np.uint16
-        for size in self.flat_sizes_dev:
-            aux = np.zeros((D, R, 6), np.float32)
-            aux[:, :, 5] = 1.0
-            wire = (np.zeros((D, size), dtype), aux)
-            self.collect_stage1_flat(self.dispatch_stage1_flat(wire))
+        aux = np.zeros((D, R, 6), np.float32)
+        aux[:, :, 5] = 1.0
+        wire = (np.zeros((D, self.flat_size_dev), dtype), aux)
+        self.collect_stage1_flat(self.dispatch_stage1_flat(wire))

@@ -191,7 +191,7 @@ class BatchAnalyzer:
                 demux_slots[rec] = stage1['demux_probs'][i]
 
             if self.config['measure_polya']:
-                # windows are scaled lazily via rec.scaled_slice
+                # windows are built lazily via rec.dac_window
                 if 'polya-tail' in segments:
                     rough_range = segments['polya-tail']
                 else:
@@ -319,7 +319,6 @@ class BatchAnalyzer:
         for rec in records:
             results.append(rec.report())
             rec.clear_cache()
-            rec.scaled_raw = None
             if rec.fast5 is not None:
                 rec.fast5.close()
                 rec.fast5 = None
@@ -350,7 +349,8 @@ class BatchAnalyzer:
     # ------------------------------------------------------------------
     def _load_read(self, rec, pool=None):
         try:
-            f5 = fast5.Fast5Reader(rec.fullpath, rec.read_id, pool=pool)
+            with trace('A:open'):
+                f5 = fast5.Fast5Reader(rec.fullpath, rec.read_id, pool=pool)
         except Exception:
             traceback.print_exc()
             rec.set_status('irregular_fast5', stop=True)
@@ -375,21 +375,47 @@ class BatchAnalyzer:
             f5.close()
             return
 
-        rec.raw_signal = f5.get_raw_data()
-        pooled = rec.raw_signal[:len(rec.raw_signal) -
-                                len(rec.raw_signal) % self.stride]
-        rec.pooled = pooled.reshape(-1, self.stride).mean(
-            axis=1, dtype=np.float32)
+        with trace('A:raw'):
+            raw = f5.get_raw_dac()
+        with trace('A:pool'):
+            # pool in DAC units and apply the per-read pA affine to the
+            # pooled means only (1/stride of the samples): the mean
+            # commutes with the affine, so this replaces the reference's
+            # per-sample pA conversion (poreplex/fast5_file.py:122-131)
+            # with a single small pass. The integer DAC stays on the
+            # record so poly(A) windows can ship losslessly (read.py
+            # dac_window).
+            pa_scale = np.float32(f5.pa_scale)
+            pa_shift = np.float32(f5.pa_scale * f5.offset)
+            trimmed = raw[:len(raw) - len(raw) % self.stride]
+            pooled = trimmed.reshape(-1, self.stride).mean(
+                axis=1, dtype=np.float32)
+            if raw.dtype.kind in 'iu' and raw.dtype.itemsize <= 2:
+                rec.raw_dac = raw
+                rec.calib = (float(f5.pa_scale), float(f5.offset))
+                rec.pooled = pooled * pa_scale + pa_shift
+            else:
+                # exotic container (f32 or wide-int signal): fall back to
+                # a converted pA array; windows quantize min/max as before
+                rec.raw_pa = np.asarray(raw * pa_scale + pa_shift,
+                                        np.float32)
+                rec.pooled = pooled * pa_scale + pa_shift
         rec.head_len = min(scaler.pooled_length, len(rec.pooled))
 
         # prefetch the basecall table on the ingest thread: the HDF5 reads
         # are the bulk of the events/trim cost and have no dependency on
         # stage-1, so they come off the compute thread's critical path
         # (the not_basecalled status is still raised in PHASE C, keeping
-        # the reference's status-precedence order). Skipped when albacore
-        # basecalls on the fly.
+        # the reference's status-precedence order). A corrupt basecall
+        # group must not fail the read here either — stage-1 statuses
+        # (e.g. scaler QC) take precedence in the reference, so the error
+        # is stashed and re-raised from _load_fast5_events in PHASE C.
         if self.albacore is None:
-            rec.bcall = f5.get_basecall()
+            try:
+                with trace('A:bcall'):
+                    rec.bcall = f5.get_basecall()
+            except Exception as exc:
+                rec.bcall_error = exc
 
     def _dispatch_stage1(self, records):
         """Token-packed device dispatch: reads' pooled frames travel as one
@@ -454,6 +480,8 @@ class BatchAnalyzer:
         return events
 
     def _load_fast5_events(self, rec):
+        if rec.bcall_error is not None:
+            raise rec.bcall_error       # deferred PHASE A prefetch failure
         bcall = rec.bcall
         if bcall is None:
             raise SignalAnalysisError('not_basecalled')

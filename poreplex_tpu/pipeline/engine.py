@@ -113,7 +113,16 @@ class DeviceEngine:
         B = int(config.get('device_batch_size', 128))
         self.batch_rows = B
         base = max(self.wire_frames + 1, 1664)
-        self.flat_sizes = [B * base]
+        self.flat_size = B * base
+        # stream offsets ride the f32 aux table (see _stage1_flat_impl);
+        # past 2**24 they would round silently and reads would dequantize
+        # from wrong positions
+        if self.flat_size >= 1 << 24:
+            raise ValueError(
+                'device_batch_size * wire frames = {} exceeds the f32 '
+                'integer-exact offset range (2**24); lower '
+                'device_batch_size or segmentation_scan_limit'.format(
+                    self.flat_size))
 
     def _apply_platform(self, platform):
         self.platform = platform
@@ -335,10 +344,13 @@ class DeviceEngine:
         packed = np.zeros((n, self.wire_frames + 3), np.uint16)
         qparams = np.zeros((n, 2), np.float32)
         qparams[:, 1] = 1.0
+        chunks = [pooled[i, :stored[i]] for i in range(n)]
+        flat = np.zeros(int(stored.sum()), np.uint16)
+        self._quantize_stream(chunks, flat, qparams, 65535)
+        off = 0
         for i in range(n):
-            q, lo, step = self._quantize_affine(pooled[i, :stored[i]], 65535)
-            packed[i, :stored[i]] = q.astype(np.uint16)
-            qparams[i] = (lo, step)
+            packed[i, :stored[i]] = flat[off:off + stored[i]]
+            off += int(stored[i])
         packed[:, self.wire_frames] = np.asarray(head_len, np.uint16)
         packed[:, self.wire_frames + 1] = np.asarray(head_valid, np.uint16)
         packed[:, self.wire_frames + 2] = pooled_len
@@ -401,7 +413,7 @@ class DeviceEngine:
         (wire, n_packed) where ``wire`` is the opaque payload for
         dispatch_stage1_flat — reads beyond n_packed go in the next call."""
         B = self.batch_rows
-        cap = self.flat_sizes[-1]
+        cap = self.flat_size
         aux = np.zeros((B, 6), np.float32)
         aux[:, 5] = 1.0
         used = 0
@@ -415,11 +427,10 @@ class DeviceEngine:
             chunks.append(pooled[:stored])
             used += stored
             n += 1
-        size = next(s for s in self.flat_sizes if s >= used)
 
         dtype, qmax = ((np.uint8, 254) if self.wire_fast
                        else (np.uint16, 65535))
-        flat = np.zeros(size, dtype)
+        flat = np.zeros(cap, dtype)
         self._quantize_stream(chunks, flat, aux[:, 4:], qmax)
         return (flat, aux), n
 
@@ -444,13 +455,12 @@ class DeviceEngine:
         return self.segmodel.segments_dict(first, last, present)
 
     def warmup(self):
-        """Compile the token-packed stage-1 program for every flat wire
-        size up front. Each fused stage-1 compile costs tens of seconds on
-        a TPU (the unrolled LSTM scans dominate); paying them before the
-        first batch keeps them out of session latency."""
+        """Compile the token-packed stage-1 program up front. The fused
+        stage-1 compile costs tens of seconds on a TPU (the unrolled LSTM
+        scans dominate); paying it before the first batch keeps it out of
+        session latency."""
         dtype = np.uint8 if self.wire_fast else np.uint16
-        for size in self.flat_sizes:
-            aux = np.zeros((self.batch_rows, 6), np.float32)
-            aux[:, 5] = 1.0
-            wire = (np.zeros(size, dtype), aux)
-            self.collect_stage1(self.dispatch_stage1_flat(wire))
+        aux = np.zeros((self.batch_rows, 6), np.float32)
+        aux[:, 5] = 1.0
+        wire = (np.zeros(self.flat_size, dtype), aux)
+        self.collect_stage1(self.dispatch_stage1_flat(wire))

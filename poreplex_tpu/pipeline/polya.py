@@ -3,8 +3,9 @@ device call per window bucket and round.
 
 Faithful re-orchestration of the reference's recursive per-read analyzer
 (poreplex/polya.py:30-187) as wavefront rounds over a whole batch. Each
-round uploads ONE token-packed f32 stream holding every active read's
-raw signal window plus a tiny [R, 5] meta table per window bucket, and
+round uploads ONE token-packed stream holding every active read's raw
+signal window plus a tiny [R, 7] meta table per window bucket
+(round_ops.META_COLS), and
 downloads ~1K decision scalars per read — the median pre-filter, event
 detection, tail marking, interval DP, stdv QC, spike bookkeeping AND the
 shifted-signal anchor recalibration all run fused on device
@@ -64,6 +65,14 @@ _MAX_SPIKES = 128
 # outrun the speculation and cost a real (un-overlapped) round trip
 _SPEC_DEPTH = 4
 
+# packing-safe window cap: the interval DP packs (prefix + _VOFF) * kmax + j
+# into i32 (ops/polya_dp.py:39-41), which overflows once
+# spike_weight * window_length exceeds 2**31 / kmax - _VOFF. With
+# kmax = 1024 and spike_weight = 1.5 that bounds windows at ~699k samples;
+# cap at the largest safe _BUCKETS[-1] multiple so absurdly long
+# right-extensions truncate instead of silently corrupting the argmax.
+_PACK_SAFE_LEN = 5 * 131072        # 655,360 < (2**31/1024 - 2**20) / 1.5
+
 
 def _bucket_len(n):
     for b in _BUCKETS:
@@ -74,7 +83,7 @@ def _bucket_len(n):
 
 class _Task:
     __slots__ = ('read', 'rough_begin', 'rough_end', 'orig_end_none',
-                 'polya_range', 'depth', 'signal', 'insp_begin',
+                 'polya_range', 'depth', 'signal', 'qaffine', 'insp_begin',
                  'full_length', 'adapter_end', 'spec', 'results')
 
     def __init__(self, read, rough_begin, rough_end, polya_range, depth):
@@ -202,15 +211,18 @@ class PolyaAnalyzer:
         speculative rows: task.spec[r] = (length, insp_end) for extension
         depth task.depth + r; the signal slice covers the LONGEST row.
 
-        Only the window is scaled: reads expose ``scaled_slice`` so the
-        host never multiplies the full raw signal for a ~15% window
-        (elementwise identical values either way)."""
+        Reads expose ``dac_window`` returning a zero-copy integer DAC
+        view plus the (a, b) affine onto the scaled pA signal, so the
+        host never converts or scales raw samples — the affine folds into
+        the wire dequantization and integer windows ship LOSSLESSLY
+        (test fakes provide pre-scaled ``scaled_raw`` f32 instead)."""
         read = task.read
-        slicer = getattr(read, 'scaled_slice', None)
+        slicer = getattr(read, 'dac_window', None)
         if slicer is None:
             raw = read.scaled_raw
             full = len(raw)
-            slicer = lambda a, b: np.asarray(raw[a:b], np.float32)
+            slicer = lambda a, b: (np.asarray(raw[a:b], np.float32),
+                                   np.float32(1.0), np.float32(0.0))
         else:
             full = read.signal_length
         meu = self.openend_expansion // stride
@@ -227,7 +239,8 @@ class PolyaAnalyzer:
         spec = []
         for r in range(_SPEC_DEPTH):
             insp_end = min(full, (rough_end + r * meu + 1) * stride +
-                           self.refinement_expansion)
+                           self.refinement_expansion,
+                           insp_begin + _PACK_SAFE_LEN)
             spec.append((insp_end - insp_begin, insp_end))
             # row r+1 is consulted only when row r extends, which requires
             # an uncapped window and remaining extension budget; an
@@ -239,7 +252,8 @@ class PolyaAnalyzer:
                 break
         task.spec = spec
         task.results = {}
-        task.signal = slicer(insp_begin, insp_begin + spec[-1][0])
+        task.signal, qa, qb = slicer(insp_begin, insp_begin + spec[-1][0])
+        task.qaffine = (qa, qb)
 
     def _rows_for(self, blen):
         rows = _BUCKET_ROWS.get(blen, 8)
@@ -259,17 +273,23 @@ class PolyaAnalyzer:
         from .engine import DeviceEngine
 
         cap = _STREAM_SIZES[-1]
+        # integer-DAC windows quantize losslessly, f32 windows via the
+        # min/max affine — each kind gets its own stream groups (task
+        # order within a round is free; offsets are per-task anyway)
         stream_groups = []          # (total, [task, ...])
-        cur, cur_total = [], 0
-        for t in tasks:
-            n = len(t.signal)
-            if cur and cur_total + n > cap:
+        for kind in ('iu', 'f'):
+            cur, cur_total = [], 0
+            for t in tasks:
+                if t.signal.dtype.kind not in kind:
+                    continue
+                n = len(t.signal)
+                if cur and cur_total + n > cap:
+                    stream_groups.append((cur_total, cur))
+                    cur, cur_total = [], 0
+                cur.append(t)
+                cur_total += n
+            if cur:
                 stream_groups.append((cur_total, cur))
-                cur, cur_total = [], 0
-            cur.append(t)
-            cur_total += n
-        if cur:
-            stream_groups.append((cur_total, cur))
 
         launches = []
         for total, group in stream_groups:
@@ -277,11 +297,23 @@ class PolyaAnalyzer:
             if size is None:        # a single oversized window
                 size = ((total + cap - 1) // cap) * cap
             stream = np.zeros(size, np.uint16)
-            qparams = np.zeros((len(group), 2), np.float32)
+            ng = len(group)
+            qparams = np.zeros((ng, 2), np.float32)
             qparams[:, 1] = 1.0
+            affines = np.empty((ng, 2), np.float32)
+            for gi, t in enumerate(group):
+                affines[gi] = t.qaffine
             with trace('C:polya/quantize'):
-                DeviceEngine._quantize_stream(
-                    [t.signal for t in group], stream, qparams, 65535)
+                if group[0].signal.dtype.kind in 'iu':
+                    _quantize_dac_stream([t.signal for t in group],
+                                         stream, qparams, affines)
+                else:
+                    DeviceEngine._quantize_stream(
+                        [t.signal for t in group], stream, qparams, 65535)
+                    # fold the scaled-pA affine into the dequantization
+                    qparams[:ng, 0] = (affines[:, 0] * qparams[:ng, 0] +
+                                       affines[:, 1])
+                    qparams[:ng, 1] *= affines[:, 0]
             by_bucket = {}
             offset = 0
             for gi, t in enumerate(group):
@@ -490,7 +522,7 @@ class PolyaAnalyzer:
 
         # quantize the FULL window (the span the dispatch quantized) and
         # slice after, so the affine matches the kernel's bit-for-bit
-        sig = _wire_roundtrip(t.signal)[:insp_end - t.insp_begin]
+        sig = _wire_roundtrip(t.signal, t.qaffine)[:insp_end - t.insp_begin]
         sig = _medfilt_host(sig, self.median_pre_filter)
         # pad to the window bucket so the dispatch reuses a bounded set of
         # compiled shapes (length masking makes the padding inert)
@@ -525,19 +557,62 @@ class PolyaAnalyzer:
         return spikes
 
 
-def _wire_roundtrip(signal):
-    """Reproduce the u16 wire quantization on the host so the
-    spike-overflow fallback sees the exact signal the kernel saw.
-    Matches DeviceEngine._quantize_affine / the kernel's dequantization:
-    f32 arithmetic, per-window [min, max] affine, 65535 steps.
+def _quantize_dac_stream(chunks, flat, qparams, affines):
+    """Lossless integer wire: 16-bit DAC spans are <= 65535, so
+    ``q = dac - min(dac)`` fits u16 exactly (step = 1 DAC) and the
+    dequantized signal is an exact f32 function of the instrument's own
+    integers — outlier spikes cannot coarsen the step the way a min/max
+    f32 affine can. The per-chunk (a, b) affine mapping DAC to scaled pA
+    is folded into the dequantization qparams: v = (a*min + b) + q * a."""
+    n = len(chunks)
+    if n == 0:
+        return 0
+    lens = np.fromiter((len(c) for c in chunks), np.int64, n)
+    total = int(lens.sum())
+    a = affines[:, 0]
+    b = affines[:, 1]
+    if total == 0:
+        qparams[:n, 0] = b
+        qparams[:n, 1] = a
+        return 0
+    cat = np.concatenate(chunks) if n > 1 else np.asarray(chunks[0])
+    offsets = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    nz = lens > 0
+    mins = np.zeros(n, np.int64)
+    mins[nz] = np.minimum.reduceat(cat, offsets[nz])
+    flat[:total] = (cat - np.repeat(mins, lens)).astype(flat.dtype)
+    minf = mins.astype(np.float32)
+    qparams[:n, 0] = a * minf + b
+    qparams[:n, 1] = a
+    return total
+
+
+def _wire_roundtrip(signal, qaffine=(1.0, 0.0)):
+    """Reproduce the wire quantization + device dequantization on the
+    host so the spike-overflow fallback sees the exact signal the kernel
+    saw: integer DAC windows go through the lossless shift
+    (_quantize_dac_stream), f32 windows through the per-window [min, max]
+    65535-step affine (DeviceEngine._quantize_stream) with the (a, b)
+    scaled-pA fold — all f32 arithmetic, matching the dispatch path
+    op-for-op.
 
     NOTE: the fallback quantizes the task's FULL window (the same span
     the dispatch quantized), then slices — the affine is window-wide."""
+    a = np.float32(qaffine[0])
+    b = np.float32(qaffine[1])
     if len(signal) == 0:
-        return signal
-    lo = np.float32(signal.min())
-    step = np.float32(max((float(signal.max()) - float(lo)) / 65535, 1e-7))
-    q = np.clip(np.round((signal - lo) / step), 0, 65535).astype(np.float32)
+        return np.asarray(signal, np.float32)
+    if signal.dtype.kind in 'iu':
+        mn = int(signal.min())
+        lo = a * np.float32(mn) + b
+        q = (signal.astype(np.int64) - mn).astype(np.float32)
+        return (lo + q * a).astype(np.float32)
+    lo0 = np.float32(signal.min())
+    step0 = np.float32(max((float(signal.max()) - float(lo0)) / 65535, 1e-7))
+    q = np.clip(np.round((signal - lo0) / step0), 0, 65535).astype(np.float32)
+    lo = a * lo0 + b
+    step = a * step0
     return (lo + q * step).astype(np.float32)
 
 

@@ -37,13 +37,15 @@ class ReadRecord:
         self.num_events = 0
 
         # transient analysis state (cleared after batch)
-        self.raw_signal = None           # full pA signal (f32)
-        self.scaled_raw = None           # scaled full signal (poly(A) path)
+        self.raw_dac = None              # integer DAC signal (16-bit)
+        self.raw_pa = None               # f32 pA fallback (exotic DAC dtype)
+        self.calib = (1.0, 0.0)          # (pa_scale, dac_offset)
         self.pooled = None               # stride-pooled, scaled lazily
         self.head_len = 0                # scaler-head frames in pooled
         self.segments = None             # {state: (first, last)} pooled frames
         self.events = None               # EventTable (basecalled events)
         self.bcall = None                # basecall dict prefetched on ingest
+        self.bcall_error = None          # deferred prefetch failure
 
     # ---- status lattice (poreplex/signal_loader.py:130-136) ----
     def set_status(self, newstatus, stop=False):
@@ -62,14 +64,24 @@ class ReadRecord:
 
     @property
     def signal_length(self):
-        return len(self.raw_signal)
+        raw = self.raw_dac if self.raw_dac is not None else self.raw_pa
+        return len(raw)
 
-    def scaled_slice(self, begin, end):
-        """Scaled pA signal over [begin, end) — computed per window so the
-        poly(A) path never scales the full read."""
+    def dac_window(self, begin, end):
+        """Raw window over [begin, end) plus the affine (a, b) mapping it
+        to the SCALED pA signal: scaled = a * window + b. For integer DAC
+        the window is a zero-copy view and the pA conversion + per-read
+        scaling are both folded into (a, b), so the poly(A) wire can ship
+        the integers losslessly (the dequantized values are an exact
+        function of the instrument's own quantization)."""
         scale, shift = self.scaling_params
-        return np.asarray(self.raw_signal[begin:end] * scale + shift,
-                          np.float32)
+        if self.raw_dac is not None:
+            pa_scale, dac_offset = self.calib
+            a = float(scale) * float(pa_scale)
+            return (self.raw_dac[begin:end], np.float32(a),
+                    np.float32(a * float(dac_offset) + float(shift)))
+        return (self.raw_pa[begin:end], np.float32(scale),
+                np.float32(shift))
 
     def set_label(self, newlabel):
         self.label = newlabel
@@ -88,7 +100,8 @@ class ReadRecord:
         self.polya = polya_info
 
     def clear_cache(self):
-        self.raw_signal = None
+        self.raw_dac = None
+        self.raw_pa = None
         self.pooled = None
         self.events = None
         self.bcall = None

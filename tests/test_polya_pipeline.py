@@ -177,3 +177,94 @@ def test_batch_of_mixed_reads(polya_config):
             assert read.polya is not None
             assert read.polya['begin'] == oracle.result['begin']
             assert read.polya['end'] == oracle.result['end']
+
+
+class FakeDacRead:
+    """Read exposing the integer-DAC window interface of
+    pipeline.read.ReadRecord (dac_window / signal_length)."""
+
+    def __init__(self, raw_dac, calib, scaling):
+        self.raw_dac = np.asarray(raw_dac, np.int16)
+        self.calib = calib              # (pa_scale, dac_offset)
+        self.scaling_params = scaling   # (scale, shift)
+        self.sampling_rate = RATE
+        self.polya = None
+
+    @property
+    def signal_length(self):
+        return len(self.raw_dac)
+
+    def dac_window(self, begin, end):
+        scale, shift = self.scaling_params
+        pa_scale, dac_offset = self.calib
+        a = float(scale) * float(pa_scale)
+        return (self.raw_dac[begin:end], np.float32(a),
+                np.float32(a * float(dac_offset) + float(shift)))
+
+    def set_polya_tail(self, info):
+        self.polya = info
+
+
+def test_dac_wire_lossless_with_extreme_spike():
+    """A huge-amplitude glitch must NOT coarsen the wire for the rest of
+    the window (ADVICE r3: the f32 min/max affine spreads 65535 steps over
+    the glitch range). The integer-DAC wire is lossless by construction:
+    the dequantized window equals the f32 scaled-pA affine of the original
+    integers EXACTLY, glitch or not."""
+    from poreplex_tpu.pipeline.polya import (_quantize_dac_stream,
+                                             _wire_roundtrip)
+    rng = np.random.RandomState(5)
+    dac = rng.randint(400, 900, 8192).astype(np.int16)
+    dac[2000] = 32767            # ~2000+ pA glitch
+    dac[6100] = -32768           # negative rail
+    calib = (1170.0 / 8192.0, 8.0)
+    scaling = (1.03, -2.5)
+
+    read = FakeDacRead(dac, calib, scaling)
+    window, a, b = read.dac_window(0, len(dac))
+    affines = np.array([[a, b]], np.float32)
+    stream = np.zeros(8192, np.uint16)
+    qparams = np.zeros((1, 2), np.float32)
+    n = _quantize_dac_stream([window], stream, qparams, affines)
+    assert n == len(dac)
+
+    # device dequantization: v = lo + q * step, all f32
+    deq = (qparams[0, 0] + stream[:n].astype(np.float32) *
+           qparams[0, 1]).astype(np.float32)
+    exact = (np.float32(a) * dac.astype(np.float32) +
+             np.float32(b)).astype(np.float32)
+    # exact integers ride f32 losslessly (q <= 65535 < 2**24); the only
+    # rounding is the shared affine, identical on both sides
+    assert np.array_equal(deq, _wire_roundtrip(window, (a, b)))
+    np.testing.assert_allclose(deq, exact, rtol=0, atol=2e-3)
+    # and away from the glitch the step stays 1 DAC (~0.15 pA), never
+    # the ~1 pA a min/max affine over the glitch span would give
+    assert abs(float(qparams[0, 1]) - float(a)) < 1e-9
+
+
+def test_polya_dac_read_matches_f32_oracle():
+    """End-to-end poly(A) on a DAC-backed read: the measured tail must
+    agree with the oracle run on the same scaled-pA f32 signal."""
+    rng = np.random.RandomState(11)
+    scaled = build_signal(rng, adapter_len=3800, polya_len=2400, spikes=1)
+    scaling = (1.0, 0.0)
+    calib = (1170.0 / 8192.0, 5.0)
+    # synthesize DAC integers whose scaled-pA affine reproduces ~scaled
+    dac = np.clip(np.round(scaled / calib[0] - calib[1]),
+                  -32768, 32767).astype(np.int16)
+    read = FakeDacRead(dac, calib, scaling)
+
+    preset = load_preset()
+    ana = PolyaAnalyzer(preset['polya_dwell'])
+    rough = rough_range_for(3800, 2400)
+    ana.process_batch([(read, rough)], STRIDE)
+
+    a = np.float32(calib[0])
+    b = np.float32(calib[0] * calib[1])
+    exact = (a * dac.astype(np.float32) + b).astype(np.float32)
+    oracle = PolyaOracle(preset['polya_dwell'])
+    oracle(exact, RATE, rough, STRIDE)
+    assert read.polya is not None
+    assert oracle.result is not None
+    assert abs(read.polya['begin'] - oracle.result['begin']) <= 8
+    assert abs(read.polya['end'] - oracle.result['end']) <= 8
