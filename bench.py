@@ -33,6 +33,16 @@ N_READS = 256
 CPU_SAMPLE = 24          # CPU baseline measured on a subsample, scaled
 E2E_READS = 2048
 E2E_READS_PER_FILE = 32  # multi-read FAST5 packing of the fixture set
+STAGE1_REPS = 3          # tunnel variance is +-15-25%: report median+spread
+E2E_REPS = 3
+
+
+def _spread(samples):
+    """{median, min, max, reps} for a list of throughput samples."""
+    s = sorted(samples)
+    return {'median': s[len(s) // 2] if len(s) % 2 else
+            round((s[len(s) // 2 - 1] + s[len(s) // 2]) / 2, 2),
+            'min': s[0], 'max': s[-1], 'reps': samples}
 
 
 def make_inputs(engine, n_reads, seed=7):
@@ -77,22 +87,24 @@ def bench_tpu(engine, pooled, pooled_len, inflight=8):
         # re-marshal each time: packing cost is part of the steady state
         wire, cnt = engine.pack_stage1_flat(groups[i % len(groups)])
         return engine.dispatch_stage1_flat(wire), cnt
-    t0 = time.time()
-    reps = done = 0
-    pending = []
-    while time.time() - t0 < 3.0 or reps < 2 * nb:
-        h, cnt = dispatch(reps)
-        pending.append((h, cnt))
-        reps += 1
-        if len(pending) >= inflight:
-            h, cnt = pending.pop(0)
+    samples = []
+    for _ in range(STAGE1_REPS):
+        t0 = time.time()
+        reps = done = 0
+        pending = []
+        while time.time() - t0 < 3.0 or reps < 2 * nb:
+            h, cnt = dispatch(reps)
+            pending.append((h, cnt))
+            reps += 1
+            if len(pending) >= inflight:
+                h, cnt = pending.pop(0)
+                engine.collect_stage1(h)
+                done += cnt
+        for h, cnt in pending:
             engine.collect_stage1(h)
             done += cnt
-    for h, cnt in pending:
-        engine.collect_stage1(h)
-        done += cnt
-    elapsed = time.time() - t0
-    return done / elapsed
+        samples.append(round(done / (time.time() - t0), 2))
+    return _spread(samples)
 
 
 def bench_cpu(config, heads, pooled, pooled_len):
@@ -204,7 +216,7 @@ def cached_e2e_fixtures(n_reads, seed=11):
     return indir, time.time() - t0
 
 
-def bench_e2e(n_reads):
+def bench_e2e(n_reads, reps=E2E_REPS):
     """Full-session throughput: FAST5 dir -> FASTQ + summary + counts with
     barcoding, poly(A), unsplit filtering and adapter trim all enabled.
     EVERY device-program shape is compiled up front (config prewarm +
@@ -244,20 +256,35 @@ def bench_e2e(n_reads):
         analyzer.process_batch(-1, warm_entries)
         warm_s = time.time() - t0
 
-        with GLOBAL_TIMER.lock:
-            GLOBAL_TIMER.totals.clear()
-            GLOBAL_TIMER.counts.clear()
-        t0 = time.time()
-        printer = ProcessingSession.run(config, logger)
-        elapsed = time.time() - t0
-        if printer is None:
-            raise RuntimeError('e2e session did not finish cleanly')
+        # repeated timed sessions (each into a fresh outdir): tunnel and
+        # host-CPU variance is +-15-25%, so a single sample cannot support
+        # round-over-round comparisons (VERDICT r3 weak-3)
+        samples = []
+        for rep in range(reps):
+            rep_out = tempfile.mkdtemp(prefix='bench-e2e-rep-')
+            try:
+                config['outputdir'] = rep_out
+                config['tmpdir'] = os.path.join(rep_out, 'tmp')
+                with GLOBAL_TIMER.lock:
+                    GLOBAL_TIMER.totals.clear()
+                    GLOBAL_TIMER.counts.clear()
+                t0 = time.time()
+                printer = ProcessingSession.run(config, logger)
+                elapsed = time.time() - t0
+                if printer is None:
+                    raise RuntimeError('e2e session did not finish cleanly')
+                samples.append(round(n_written / elapsed, 2))
+            finally:
+                shutil.rmtree(rep_out, ignore_errors=True)
 
+        # stage breakdown from the LAST rep (steady state, post-warm)
         snap = GLOBAL_TIMER.snapshot()
+        spread = _spread(samples)
         return {
-            'reads_per_s': round(n_written / elapsed, 2),
+            'reads_per_s': spread['median'],
+            'spread': spread,
             'n_reads': n_written,
-            'wall_s': round(elapsed, 2),
+            'wall_s': round(n_written / spread['median'], 2),
             'fixture_gen_s': round(fixture_s, 2),
             'warmup_s': round(warm_s, 2),
             'stage_wall_s': {name: row['total_s']
@@ -280,12 +307,74 @@ def bench_e2e_cpu(n_reads):
     env['JAX_PLATFORMS'] = 'cpu'
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), '--e2e-cpu-child',
-         '--e2e-reads', str(n_reads)],
+         '--e2e-reads', str(n_reads), '--e2e-reps', '2'],
         env=env, capture_output=True, timeout=3000)
     if out.returncode != 0:
         raise RuntimeError('cpu e2e child failed: ' +
                            out.stderr.decode()[-1000:])
     return json.loads(out.stdout.decode().strip().splitlines()[-1])
+
+
+def bench_scaling_cpu(n_files=16):
+    """Multi-host scaling-efficiency proxy (BASELINE.md target: >= 80%
+    at 2 hosts; real multi-host cannot run here): the SAME full session
+    run by 1 process vs 2 jax.distributed processes on the CPU backend
+    over one fixture set, each "host" pinned to its own CPU core so the
+    number measures framework scaling (CRC32 entry ownership, count
+    allreduce, host-0 merge) rather than oversubscription of the shared
+    2-vCPU box. efficiency = t1 / (2 * max(t2)); compiles excluded via
+    prewarm inside each worker before its timed session."""
+    import subprocess
+    indir_full, _ = cached_e2e_fixtures(E2E_READS)
+    files = sorted(f for f in os.listdir(indir_full)
+                   if f.endswith('.fast5'))[:n_files]
+    n_reads = 0
+    indir = tempfile.mkdtemp(prefix='bench-scale-in-')
+    from poreplex_tpu.fast5 import get_read_ids
+    for f in files:
+        os.symlink(os.path.join(indir_full, f), os.path.join(indir, f))
+        n_reads += len(get_read_ids(f, indir_full))
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'tests', 'dist_session_worker.py')
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ('PJRT_LIBRARY_PATH', 'TPU_LIBRARY_PATH') and
+                not k.startswith(('AXON_', 'TPU_', 'PALLAS_AXON_'))}
+    env_base['PPTPU_PREWARM'] = '1'
+    ncpu = os.cpu_count() or 1
+
+    def run(nprocs, port):
+        tmpd = tempfile.mkdtemp(prefix='bench-scale-out-')
+        try:
+            procs = []
+            for rank in range(nprocs):
+                env = dict(env_base)
+                env['PPTPU_CPU_AFFINITY'] = str(rank % ncpu)
+                procs.append((subprocess.Popen(
+                    [sys.executable, worker, str(rank), str(nprocs), port,
+                     indir, os.path.join(tmpd, 'r{}'.format(rank)),
+                     os.path.join(tmpd, 'res{}.json'.format(rank))],
+                    env=env, stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL),
+                    os.path.join(tmpd, 'res{}.json'.format(rank))))
+            times = []
+            for p, res in procs:
+                if p.wait(timeout=1800) != 0:
+                    raise RuntimeError('scaling worker failed '
+                                       '(rc={})'.format(p.returncode))
+                with open(res) as f:
+                    times.append(json.load(f)['session_s'])
+            return max(times)
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+
+    try:
+        t1 = run(1, '29531')
+        t2 = run(2, '29533')
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+    return {'t1_s': round(t1, 2), 't2_s': round(t2, 2),
+            'efficiency': round(t1 / (2 * t2), 3),
+            'n_reads': n_reads, 'hosts': 2, 'cpus_per_host': 1}
 
 
 def main():
@@ -294,7 +383,9 @@ def main():
     parser.add_argument('--skip-stage1', action='store_true')
     parser.add_argument('--skip-e2e-cpu', action='store_true')
     parser.add_argument('--e2e-reads', type=int, default=E2E_READS)
+    parser.add_argument('--e2e-reps', type=int, default=E2E_REPS)
     parser.add_argument('--e2e-cpu-reads', type=int, default=E2E_READS // 8)
+    parser.add_argument('--skip-scaling', action='store_true')
     parser.add_argument('--e2e-cpu-child', action='store_true',
                         help=argparse.SUPPRESS)
     args = parser.parse_args()
@@ -303,7 +394,7 @@ def main():
         # child process: pin everything to CPU, run the session, emit JSON
         import jax
         jax.config.update('jax_default_device', jax.devices('cpu')[0])
-        print(json.dumps(bench_e2e(args.e2e_reads)))
+        print(json.dumps(bench_e2e(args.e2e_reads, reps=args.e2e_reps)))
         return
 
     from poreplex_tpu.config import build_config
@@ -326,9 +417,16 @@ def main():
     e2e = None
     if not args.skip_e2e:
         try:
-            e2e = bench_e2e(args.e2e_reads)
+            e2e = bench_e2e(args.e2e_reads, reps=args.e2e_reps)
         except Exception as exc:
             print('e2e bench failed: {}'.format(exc), file=sys.stderr)
+
+    scaling = None
+    if not args.skip_scaling:
+        try:
+            scaling = bench_scaling_cpu()
+        except Exception as exc:
+            print('scaling bench failed: {}'.format(exc), file=sys.stderr)
 
     if e2e is not None and not args.skip_e2e_cpu:
         try:
@@ -342,11 +440,13 @@ def main():
 
     result = {
         'metric': 'demux_segmentation_throughput',
-        'value': round(tpu_rps, 2) if tpu_rps else None,
+        'value': tpu_rps['median'] if tpu_rps else None,
         'unit': 'reads/s',
-        'vs_baseline': (round(tpu_rps / cpu_rps, 2)
+        'vs_baseline': (round(tpu_rps['median'] / cpu_rps, 2)
                         if tpu_rps and cpu_rps else None),
+        'stage1': tpu_rps,
         'e2e': e2e,
+        'scaling_cpu_2proc': scaling,
     }
     print(json.dumps(result))
 

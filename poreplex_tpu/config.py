@@ -128,6 +128,8 @@ DEFAULT_OPTIONS = dict(
     mesh_shape=None,         # None => all local devices on a 1-D 'batch' mesh
     io_threads=2,
     compute_threads=2,       # in-flight analyzer batches (device stays fed)
+    ingest_processes='auto',  # PHASE A worker processes ('auto' => parallel
+                              # when >= 2; 0 => in-process ingest threads)
     # multi-host (jax.distributed): all None/1 => single host
     num_nodes=None,
     node_rank=None,

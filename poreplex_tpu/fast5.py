@@ -227,9 +227,15 @@ class Fast5Reader:
         return np.asarray(self.range / self.digitisation * (raw + self.offset),
                           dtype=np.float32)
 
-    def get_basecall(self, analysis_group='Basecall_1D'):
+    def get_basecall(self, analysis_group='Basecall_1D', columns=None):
         """Extract the newest basecall analysis with its event table
-        (poreplex/fast5_file.py:133-164). Returns None when absent."""
+        (poreplex/fast5_file.py:133-164). Returns None when absent.
+
+        ``columns`` restricts the albacore 14-column Events read to the
+        named compound members (HDF5 member selection — a fraction of the
+        bytes and conversion work when the pipeline only consumes
+        mean/start/move/p_model_state); guppy Move tables are unaffected
+        (their columns are all derived)."""
         try:
             analnode = self.handle[self.analyses_node]
         except KeyError:
@@ -265,26 +271,29 @@ class Fast5Reader:
         summary['num_events'] = int(num_events)
         summary['first_sample_template'] = int(first_sample)
 
-        summary['events'] = self._load_events(analyses, summary)
+        summary['events'] = self._load_events(analyses, summary, columns)
         return summary
 
-    def _load_events(self, analyses, summary):
+    def _load_events(self, analyses, summary, columns=None):
         """Dispatch between albacore Events and guppy Move encodings
         (poreplex/fast5_file.py:166-181)."""
         if 'BaseCalled_template/Events' in analyses:
-            evdf = EventTable.from_structured(
-                analyses['BaseCalled_template/Events'][()])
+            dset = analyses['BaseCalled_template/Events']
+            names = dset.dtype.names or ()
+            if len(names) <= 3 and 'move' in names:  # guppy-style Events
+                return self._reconstruct_guppy_events(
+                    EventTable.from_structured(dset[()]), summary)
+            if len(names) == 14:  # albacore >= 2.3.0
+                if columns:
+                    use = tuple(c for c in columns if c in names)
+                    return EventTable.from_structured(dset.fields(use)[()])
+                return EventTable.from_structured(dset[()])
+            raise Exception('Unsupported event table found.')
         elif 'BaseCalled_template/Move' in analyses:
             evdf = self._events_from_moves(analyses, summary)
-        else:
-            raise Exception(
-                "Neither `Events' or `Move' table found in the basecall.")
-
-        if len(evdf.columns) <= 3 and 'move' in evdf.columns:  # guppy
             return self._reconstruct_guppy_events(evdf, summary)
-        elif len(evdf.columns) == 14:  # albacore >= 2.3.0
-            return evdf
-        raise Exception('Unsupported event table found.')
+        raise Exception(
+            "Neither `Events' or `Move' table found in the basecall.")
 
     def _events_from_moves(self, analyses, summary):
         """Rebuild a minimal event table from a guppy Move table, with the

@@ -85,7 +85,8 @@ class BatchAnalyzer:
             UnsplitReadDetector(config, self.engine.unsplitmodel,
                                 sharding=self.kernel_sharding,
                                 n_devices=self.kernel_devices,
-                                batch_rows=self.engine.batch_rows)
+                                batch_rows=self.engine.batch_rows,
+                                use_pallas=self.engine.use_pallas)
             if config['filter_unsplit_reads'] else None)
 
         if config['albacore_onthefly']:
@@ -94,6 +95,27 @@ class BatchAnalyzer:
                                            self.kmersize)
         else:
             self.albacore = None
+
+        # PHASE A ingest processes: h5py holds the GIL, so ingest THREADS
+        # only steal cycles from device orchestration — offload FAST5
+        # reads to spawn-context workers (pipeline/ingest.py). 'auto'
+        # follows the reference's -p/--parallel worker-count knob
+        # (poreplex/pipeline.py:96); albacore mode needs in-process FAST5
+        # handles so it keeps the thread path.
+        nproc = config.get('ingest_processes', 'auto')
+        if nproc == 'auto':
+            nproc = config.get('parallel', 1)
+            nproc = nproc if nproc >= 2 else 0
+        if self.albacore is not None:
+            nproc = 0
+        if nproc:
+            from .ingest import IngestPool
+            self.ingest_pool = IngestPool(config, self.engine, int(nproc))
+        else:
+            self.ingest_pool = None
+        from .ingest import MINIMAL_EVENT_COLUMNS
+        self._event_columns = (None if config.get('dump_basecalls')
+                               else MINIMAL_EVENT_COLUMNS)
 
         if config['barcoding']:
             self.demux_threshold = self.engine.demux.score_threshold(
@@ -116,6 +138,8 @@ class BatchAnalyzer:
             jobs += self.polya_analyzer.warmup_jobs()
         if self.unsplit_detector is not None:
             jobs += self.unsplit_detector.warmup_jobs()
+        if self.ingest_pool is not None:
+            jobs.append(self.ingest_pool.warm)
         with trace('warmup'):
             with ThreadPoolExecutor(len(jobs)) as pool:
                 for f in list(pool.map(lambda job: job(), jobs)):
@@ -135,8 +159,50 @@ class BatchAnalyzer:
         results = []
         records = []
         with trace('A:fast5_load'):
-            self._phase_a(reads, results, records)
+            if self.ingest_pool is not None:
+                payloads, timers = self.ingest_pool.load(reads)
+                from ..utils.profiling import GLOBAL_TIMER
+                with GLOBAL_TIMER.lock:
+                    for name, secs in timers.items():
+                        GLOBAL_TIMER.totals[name] += secs
+                        GLOBAL_TIMER.counts[name] += 1
+                self._records_from_payloads(payloads, results, records)
+            else:
+                self._phase_a(reads, results, records)
         return results, records, None
+
+    def _records_from_payloads(self, payloads, results, records):
+        """Reassemble ReadRecords from ingest-worker payloads
+        (pipeline/ingest.py), applying the same status lattice as the
+        in-process _load_read path."""
+        for p in payloads:
+            err = p.get('error')
+            if err is not None:
+                results.append(err)
+                continue
+            if p['status'] == 'disappeared':
+                results.append({'filename': p['filename'],
+                                'read_id': p['read_id'],
+                                'status': 'disappeared'})
+                continue
+            rec = ReadRecord(p['filename'], self.inputdir, p['read_id'])
+            meta = p.get('meta')
+            if meta is not None:
+                (rec.sampling_rate, rec.duration, rec.channel,
+                 rec.start_time_s, rec.run_id, rec.sample_id) = meta
+            if p['status'] != 'okay' or p.get('stopped'):
+                rec.set_status(p['status'], stop=p.get('stopped', False))
+            if rec.is_stopped():
+                results.append(rec.report())
+                continue
+            rec.raw_dac = p.get('raw_dac')
+            rec.raw_pa = p.get('raw_pa')
+            rec.calib = p.get('calib', (1.0, 0.0))
+            rec.pooled = p['pooled']
+            rec.head_len = p['head_len']
+            rec.bcall = p.get('bcall')
+            rec.bcall_error = p.get('bcall_error')
+            records.append(rec)
 
     def process_batch(self, batchid, reads, preloaded=None):
         """reads: list of (fast5_filename, read_id).
@@ -252,23 +318,23 @@ class BatchAnalyzer:
                 polya_state = None
                 traceback.print_exc()
 
-        # batched unsplit Viterbi
+        # batched unsplit Viterbi + device-side run extraction
         if unsplit_jobs:
             flat = [(rec, lo, hi) for rec, _, windows in unsplit_jobs
                     for lo, hi in windows]
             with trace('C:unsplit_viterbi'):
-                paths = self.unsplit_detector.decode_windows_batched(flat)
+                runs = self.unsplit_detector.decode_runs_batched(flat)
             cursor = 0
             with trace('C:unsplit_analyze'):
                 for rec, payload_start, windows in unsplit_jobs:
                     if rec in failed or rec.error_message:
                         cursor += len(windows)
                         continue
-                    wpaths = paths[cursor:cursor + len(windows)]
+                    wruns = runs[cursor:cursor + len(windows)]
                     cursor += len(windows)
                     try:
                         if self.unsplit_detector.analyze_read(
-                                rec, payload_start, windows, wpaths):
+                                rec, payload_start, windows, wruns):
                             fail(rec, 'unsplit_read')
                     except Exception as exc:
                         err = self._pack_unhandled_exception(
@@ -413,7 +479,8 @@ class BatchAnalyzer:
         if self.albacore is None:
             try:
                 with trace('A:bcall'):
-                    rec.bcall = f5.get_basecall()
+                    rec.bcall = f5.get_basecall(
+                        columns=self._event_columns)
             except Exception as exc:
                 rec.bcall_error = exc
 
@@ -559,17 +626,9 @@ class BatchAnalyzer:
         aux['event_dumps'].append((rec.read_id, events.copy(), attrs))
 
     def _pack_unhandled_exception(self, f5filename, read_id, exc):
-        exc_tb = sys.exc_info()[2]
-        srcfilename = os.path.split(
-            exc_tb.tb_frame.f_code.co_filename)[-1] if exc_tb else '?'
-        errmsg = ('[{src}:{line}] ({f5}#{rid}) Unhandled exception '
-                  '{name}: {msg}\n{tb}'.format(
-                      src=srcfilename,
-                      line=exc_tb.tb_lineno if exc_tb else 0,
-                      f5=f5filename, rid=read_id, name=type(exc).__name__,
-                      msg=str(exc), tb=traceback.format_exc()))
-        return {'filename': f5filename, 'read_id': read_id,
-                'status': 'unknown_error', 'error_message': errmsg}
+        from ..utils import pack_unhandled_exception
+        return pack_unhandled_exception(f5filename, read_id, exc,
+                                        sys.exc_info()[2])
 
 
 # the live analyzer and a strong reference to the exact config object it

@@ -5,14 +5,23 @@ Re-orchestration of the reference's windowed second-HMM scan
 basecalled events are gathered across ALL reads of a batch and decoded
 with the unsplit HMM in ONE token-packed device call — every read's
 scaled-mean event stream is uploaded once and each window is a
-contiguous (lo, hi) slice of it, so the wire pays one copy of the events
-instead of ~2.7x duplicated padded windows, and the Viterbi paths come
-back as a single i8 array. The leader->adapter run analysis + duration
-cutoffs + high-quality-base counting run on the host with identical
-semantics.
+contiguous (lo, hi) slice of it.
+
+The per-window run analysis ALSO runs on device: the reference's
+backward-compatible host loop (walk Viterbi state runs, anchor a leader
+chain, emit one (leader_start, first, last) trio per adapter run —
+poreplex/signal_analyzer.py:388-404) is re-expressed as a vectorized
+XLA post-pass over the decoded paths, fused into the same program as the
+Viterbi (the Pallas kernel on TPU), so only a [R, K, 3] trio table plus
+run counts crosses the wire instead of the full [R, emax] path array.
+The duration cutoffs + high-quality-base counting stay on the host with
+identical semantics (they need per-event start/end times and qualities
+that never leave the host).
 """
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from ..utils.intervals import union_intervals
 
@@ -25,13 +34,18 @@ class UnsplitReadDetector:
     ROWS_MULT = 4
     STREAM_SIZE = 1 << 16
 
+    # device-emitted adapter runs per window; windows with more fall back
+    # to the full-path decode + host walk (tracked per chunk)
+    MAX_RUNS = 16
+
     def __init__(self, config, unsplit_model, sharding=None, n_devices=1,
-                 batch_rows=128):
+                 batch_rows=128, use_pallas=False):
         self.config = config['unsplit_read_detection']
         self.model = unsplit_model
         # batch-sharded Viterbi placement on a multi-chip mesh
         self.sharding = sharding
         self.n_devices = n_devices
+        self.use_pallas = use_pallas
         # fixed-row device dispatches: window-count changes between batches
         # must not trigger XLA recompiles (only the event-count bucket may)
         rows = max(int(batch_rows), 1) * self.ROWS_MULT
@@ -40,6 +54,12 @@ class UnsplitReadDetector:
                           for n in ('adapter', 'leader-high', 'leader-low')
                           if n in unsplit_model.state_index}
         self.adapter_idx = unsplit_model.state_index['adapter']
+        leader_mask = np.zeros(unsplit_model.nstates, bool)
+        for i in self.leaderish:
+            leader_mask[i] = True
+        self._leader_mask = jnp.asarray(leader_mask)
+        self._decode_runs = jax.jit(self._decode_runs_impl,
+                                    static_argnames=('emax',))
 
     # ------------------------------------------------------------------
     def collect_windows(self, read, segments, elspan):
@@ -86,13 +106,131 @@ class UnsplitReadDetector:
         return 1 << (n - 1).bit_length()
 
     # ------------------------------------------------------------------
-    def decode_windows_batched(self, jobs):
+    def _gather_windows(self, stream, meta, emax):
+        off = meta[:, 0]
+        lens = meta[:, 1]
+        j = jnp.arange(emax, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(off[:, None] + j, 0, stream.shape[0] - 1)
+        x = jnp.where(j < lens[:, None], jnp.take(stream, idx), 0.0)
+        return x, lens, j
+
+    def _decode_runs_impl(self, stream, meta, emax):
+        """Fused decode + leader->adapter run extraction.
+
+        Device re-expression of the reference's run walk
+        (poreplex/signal_analyzer.py:388-404): an adapter run emits the
+        trio (leader_start, first, last) where leader_start is the start
+        of the contiguous chain of leaderish runs immediately preceding
+        (and containing) it — the chain is broken by non-leaderish
+        positions and by earlier adapter runs (the host loop resets its
+        anchor after every adapter run). Returns [R, K*3 + 1] i32:
+        K trios (-1-padded) + the total run count (> K => overflow, the
+        caller falls back to the full-path walk for that window)."""
+        m = self.model
+        x, lens, j = self._gather_windows(stream, meta, emax)
+        if self.use_pallas:
+            from ..ops import pallas_viterbi
+            path, _ = pallas_viterbi.viterbi(
+                x, lens, m.log_start, m.log_trans, m.mus, m.sigmas, m.logws)
+        else:
+            from ..ops import viterbi as vit_ops
+            path, _ = vit_ops.viterbi(
+                x, lens, m.log_start, m.log_trans, m.mus, m.sigmas, m.logws)
+
+        R = meta.shape[0]
+        K = self.MAX_RUNS
+        valid = j < lens[:, None]
+        is_ad = (path == self.adapter_idx) & valid
+        leaderish = self._leader_mask[path] & valid
+        prev_ad = jnp.pad(is_ad[:, :-1], ((0, 0), (1, 0)))
+        next_ad = jnp.pad(is_ad[:, 1:], ((0, 0), (0, 1)))
+        run_start = is_ad & ~prev_ad
+        run_end = is_ad & ~next_ad
+        # last chain-breaking position strictly before t
+        bound = (~leaderish) | is_ad
+        lastb = jax.lax.cummax(jnp.where(bound, j, -1), axis=1)
+        lastb_excl = jnp.pad(lastb[:, :-1], ((0, 0), (1, 0)),
+                             constant_values=-1)
+        leader_start = lastb_excl + 1
+
+        rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+        sidx = jnp.cumsum(run_start, axis=1) - 1
+        eidx = jnp.cumsum(run_end, axis=1) - 1
+        sslot = jnp.where(run_start, jnp.minimum(sidx, K), K)
+        eslot = jnp.where(run_end, jnp.minimum(eidx, K), K)
+        jb = jnp.broadcast_to(j, (R, emax))
+        neg = jnp.full((R, K + 1), -1, jnp.int32)
+        leads = neg.at[rows, sslot].max(
+            jnp.broadcast_to(leader_start, (R, emax)))
+        firsts = neg.at[rows, sslot].max(jb)
+        lasts = neg.at[rows, eslot].max(jb)
+        count = jnp.sum(run_start, axis=1, dtype=jnp.int32)
+        trios = jnp.stack([leads[:, :K], firsts[:, :K], lasts[:, :K]],
+                          axis=2)
+        return jnp.concatenate([trios.reshape(R, 3 * K), count[:, None]],
+                               axis=1)
+
+    # ------------------------------------------------------------------
+    def decode_runs_batched(self, jobs):
         """jobs: list of (read, lo, hi) contiguous event-slice windows.
         Uploads each read's scaled_mean stream once + a tiny [R, 2] meta
-        table, runs the padded Viterbi (compiled shape varies only with
-        the event-count bucket), and downloads the i8 path array — one
-        launch for a whole batch in the common case. All launches are
-        dispatched before any path is awaited; returns state paths."""
+        table, runs the fused Viterbi + run-extraction (compiled shape
+        varies only with the event-count bucket), and downloads the
+        [R, K*3+1] trio table. Returns one [k, 3] i64 array of
+        (leader_start, first, last) trios per window. All launches are
+        dispatched before any result is awaited; overflowing windows
+        (> K adapter runs) are re-decoded via the full-path kernel."""
+        if not jobs:
+            return []
+        launches = []
+        cursor = 0
+        while cursor < len(jobs):
+            chunk, stream, meta, emax = self._pack_chunk(jobs, cursor)
+            cursor += len(chunk)
+            stream_dev = self._put_stream(stream)
+            meta_dev, = self._put_meta(meta)
+            launches.append(
+                (chunk, self._decode_runs(stream_dev, meta_dev, emax=emax)))
+        runs = []
+        overflow = []           # (result slot, job)
+        K = self.MAX_RUNS
+        base = 0
+        for chunk, handle in launches:
+            arr = np.asarray(handle)
+            for i, job in enumerate(chunk):
+                count = int(arr[i, 3 * K])
+                if count > K:
+                    runs.append(None)
+                    overflow.append((base + i, job))
+                else:
+                    runs.append(arr[i, :3 * count].reshape(count, 3)
+                                .astype(np.int64))
+            base += len(chunk)
+        for slot, job in overflow:
+            path = self.decode_paths_batched([job])[0]
+            runs[slot] = self._runs_from_path(path)
+        return runs
+
+    def _runs_from_path(self, path):
+        """Host fallback: the reference's run walk verbatim
+        (poreplex/signal_analyzer.py:388-404)."""
+        trios = []
+        leader_start = None
+        for first, last, state in _iter_runs(path):
+            if state not in self.leaderish:
+                leader_start = None
+                continue
+            if leader_start is None:
+                leader_start = first
+            if state != self.adapter_idx:
+                continue
+            trios.append((leader_start, first, last))
+            leader_start = None
+        return np.asarray(trios, np.int64).reshape(-1, 3)
+
+    def decode_paths_batched(self, jobs):
+        """Full Viterbi paths for a list of windows (overflow fallback +
+        tests). One i8 [R, emax] download."""
         if not jobs:
             return []
         launches = []
@@ -147,8 +285,6 @@ class UnsplitReadDetector:
         return chunk, stream, meta, self._event_bucket(emax)
 
     def _put_stream(self, stream):
-        import jax
-        import jax.numpy as jnp
         if self.sharding is None or self.n_devices <= 1:
             return jnp.asarray(stream)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -167,19 +303,19 @@ class UnsplitReadDetector:
                 stream = self._put_stream(
                     np.zeros(self.STREAM_SIZE, np.float32))
                 meta, = self._put_meta(np.zeros((self.rows, 2), np.int32))
-                np.asarray(self.model._decode_paths_flat(stream, meta,
-                                                         emax=emax))
+                np.asarray(self._decode_runs(stream, meta, emax=emax))
             return run
         return [job(emax) for emax in self.EVENT_BUCKETS]
 
     def warmup(self):
-        """Compile the padded Viterbi for every event bucket up front."""
+        """Compile the fused decode for every event bucket up front."""
         for run in self.warmup_jobs():
             run()
 
     # ------------------------------------------------------------------
-    def analyze_read(self, read, payload_start, windows, paths):
-        """Post-Viterbi analysis for one read; returns True when the read is
+    def analyze_read(self, read, payload_start, windows, runs):
+        """Post-Viterbi analysis for one read from the device-emitted
+        (leader_start, first, last) trios; returns True when the read is
         an unsplit artifact (poreplex/signal_analyzer.py:388-443)."""
         config = self.config
         rate = read.sampling_rate
@@ -194,29 +330,20 @@ class UnsplitReadDetector:
         ends = np.asarray(ev['end'], np.int64)
 
         excessive_adapters = []
-        for (lo, hi), path in zip(windows, paths):
-            leader_start = None
-            for first, last, state in _iter_runs(path):
-                if state not in self.leaderish:
-                    leader_start = None
-                    continue
-                if leader_start is None:
-                    leader_start = first
-                if state != self.adapter_idx:
-                    continue
-
+        for (lo, hi), wruns in zip(windows, runs):
+            for leader_start, first, last in wruns:
                 adapter_end = int(ends[lo + last])
                 leader_start_in_read = int(starts[lo + leader_start])
                 total_duration = adapter_end - leader_start_in_read
                 adapter_duration = adapter_end - starts[lo + first]
                 total_cutoff, adapter_cutoff = duration_cutoffs[
-                    (leader_start_in_read - payload_start) <= strict_duration]
+                    (leader_start_in_read - payload_start) <=
+                    strict_duration]
 
                 if (total_duration >= total_cutoff and
                         adapter_duration >= adapter_cutoff):
                     excessive_adapters.append(
                         [leader_start_in_read, 1 + adapter_end])
-                leader_start = None
 
         if not excessive_adapters:
             return False

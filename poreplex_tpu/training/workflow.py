@@ -19,8 +19,11 @@ resumes at the failed stage.
 """
 
 import argparse
+import glob
+import gzip
 import logging
 import os
+import re
 import sys
 
 import numpy as np
@@ -28,6 +31,94 @@ import numpy as np
 from .train_demux import LABEL_IDS, train
 
 INVENTORY_RELPATH = os.path.join('adapter-dumps', 'inventory.h5')
+
+_CIGAR_M = re.compile(r'(\d+)M')
+
+
+def _read_fastq_sequences(outdir):
+    """(read_id, sequence) pairs from a prepare stage's FASTQ output."""
+    for path in sorted(glob.glob(os.path.join(outdir, 'fastq', '*.fastq.gz'))):
+        with gzip.open(path, 'rt') as f:
+            while True:
+                header = f.readline()
+                if not header:
+                    break
+                seq = f.readline().rstrip('\n')
+                f.readline()
+                f.readline()
+                yield header[1:].split()[0], seq
+
+
+def _default_aligner_factory(reference):
+    import mappy
+    aligner = mappy.Aligner(reference, preset='map-ont', k=13)
+    if not aligner:
+        raise RuntimeError('failed to load reference ' + reference)
+    return aligner
+
+
+def _best_match_length(aligner, seq):
+    """Total matched bases of the best hit (the reference's per-BAM score,
+    training/barcodes/workflows/training_data_preparation.py:16-17:
+    sum of CIGAR M runs, best alignment per read)."""
+    best = 0
+    for hit in aligner.map(seq):
+        m = sum(int(n) for n in _CIGAR_M.findall(hit.cigar_str))
+        best = max(best, m)
+    return best
+
+
+def filter_contaminated_reads(prepare_dirs, references, outdir,
+                              make_aligner=None, min_score_ratio=0.55,
+                              log=print):
+    """Alignment-based contamination filter for the demux training data
+    (role of training/barcodes/workflows/sequence_alignments.py +
+    training_data_preparation.py:process_scores): every prepared run's
+    basecalls are mapped against EVERY barcode's own transcriptome, each
+    read is scored per reference by its best alignment's matched-base
+    count, and a read survives only if the top-scoring reference is its
+    own run's AND the best/(best+second) score ratio clears the cutoff —
+    reads that align better (or comparably) to another barcode's
+    transcriptome are cross-contamination and would poison the classes.
+
+    prepare_dirs: {label: prepare outdir}; references: {label: ref path}.
+    Writes tables/alignment-scores-<label>.tsv (the reference's
+    tables/ artifacts) and returns {label: set(read_id)}."""
+    make_aligner = make_aligner or _default_aligner_factory
+    labels = sorted(references)
+    aligners = {label: make_aligner(references[label]) for label in labels}
+    tables_dir = os.path.join(outdir, 'tables')
+    os.makedirs(tables_dir, exist_ok=True)
+
+    keep = {}
+    for label, pdir in sorted(prepare_dirs.items()):
+        kept = set()
+        rows = []
+        for read_id, seq in _read_fastq_sequences(pdir):
+            scores = {l: _best_match_length(aligners[l], seq)
+                      for l in labels}
+            ranked = sorted(scores.values(), reverse=True)
+            best, second = ranked[0], (ranked[1] if len(ranked) > 1 else 0)
+            assigned = max(labels, key=lambda l: scores[l])
+            ratio = best / (best + second) if best else 0.0
+            ok = (best > 0 and assigned == label and
+                  ratio >= min_score_ratio)
+            if ok:
+                kept.add(read_id)
+            rows.append([read_id] + [str(scores[l]) for l in labels] +
+                        [assigned, '{:.4f}'.format(ratio),
+                         'keep' if ok else 'drop'])
+        table = os.path.join(tables_dir,
+                             'alignment-scores-{}.tsv'.format(label))
+        with open(table, 'w') as f:
+            f.write('\t'.join(['read_id'] + labels +
+                              ['assigned', 'score_ratio', 'verdict']) + '\n')
+            for row in rows:
+                f.write('\t'.join(row) + '\n')
+        log('filter: {} -> kept {}/{} reads ({})'.format(
+            label, len(kept), len(rows), table))
+        keep[label] = kept
+    return keep
 
 
 def prepare_run(inputdir, outdir, log=print, config_overrides=None):
@@ -93,9 +184,13 @@ def evaluate(model_path, data, outpath, eval_fraction=0.25, log=print):
 
 
 def run_workflow(runs, outdir, steps=300, seed=0, force=False, log=print,
-                 data_parallel=False, config_overrides=None):
+                 data_parallel=False, config_overrides=None,
+                 references=None, make_aligner=None, min_score_ratio=0.55):
     """runs: list of (label_name, input_dir) with label_name one of
-    decoy/BC1..BC4. Returns the held-out accuracy."""
+    decoy/BC1..BC4. ``references`` optionally maps label_name -> that
+    barcode's transcriptome (minimap2-compatible reference); when given,
+    the alignment-based contamination filter runs between prepare and
+    train. Returns the held-out accuracy."""
     os.makedirs(outdir, exist_ok=True)
     model_path = os.path.join(outdir, 'demux-model.npz')
     eval_path = os.path.join(outdir, 'evaluation.txt')
@@ -104,16 +199,28 @@ def run_workflow(runs, outdir, steps=300, seed=0, force=False, log=print,
             if os.path.exists(path):
                 os.unlink(path)
 
-    inventories = []
+    prepare_dirs = {}
     for label_name, inputdir in runs:
         stage_dir = os.path.join(outdir, 'prepare', label_name)
         if force and os.path.exists(
                 os.path.join(stage_dir, INVENTORY_RELPATH)):
             os.unlink(os.path.join(stage_dir, INVENTORY_RELPATH))
+        prepare_run(inputdir, stage_dir, log=log,
+                    config_overrides=config_overrides)
+        prepare_dirs[label_name] = stage_dir
+
+    keep = None
+    if references:
+        keep = filter_contaminated_reads(
+            prepare_dirs, references, outdir, make_aligner=make_aligner,
+            min_score_ratio=min_score_ratio, log=log)
+
+    inventories = []
+    for label_name, _ in runs:
         inventories.append(
-            (prepare_run(inputdir, stage_dir, log=log,
-                         config_overrides=config_overrides),
-             LABEL_IDS[label_name]))
+            (os.path.join(prepare_dirs[label_name], INVENTORY_RELPATH),
+             LABEL_IDS[label_name],
+             keep.get(label_name) if keep is not None else None))
 
     from .data import dumps_dataset
     data = dumps_dataset(inventories, rng=np.random.RandomState(seed))

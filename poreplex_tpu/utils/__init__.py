@@ -41,3 +41,22 @@ def enable_compile_cache():
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:
         pass
+
+
+def pack_unhandled_exception(f5filename, read_id, exc, exc_tb=None):
+    """Per-read unknown_error report dict with the reference's message
+    format (poreplex/signal_analyzer.py:136-153). Shared by the in-process
+    analyzer and the ingest worker processes."""
+    import traceback
+    if exc_tb is None:
+        exc_tb = sys.exc_info()[2]
+    srcfilename = os.path.split(
+        exc_tb.tb_frame.f_code.co_filename)[-1] if exc_tb else '?'
+    errmsg = ('[{src}:{line}] ({f5}#{rid}) Unhandled exception '
+              '{name}: {msg}\n{tb}'.format(
+                  src=srcfilename,
+                  line=exc_tb.tb_lineno if exc_tb else 0,
+                  f5=f5filename, rid=read_id, name=type(exc).__name__,
+                  msg=str(exc), tb=traceback.format_exc()))
+    return {'filename': f5filename, 'read_id': read_id,
+            'status': 'unknown_error', 'error_message': errmsg}

@@ -14,6 +14,7 @@ import json
 import logging
 import os
 import sys
+import time
 
 os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
@@ -29,6 +30,14 @@ def main():
     outdir = sys.argv[5]
     resultpath = sys.argv[6]
 
+    # scaling-bench mode: pin this "host" to its own CPU so the
+    # 1-proc-vs-2-proc comparison measures framework scaling, not
+    # oversubscription of the shared cores (each real pod host owns its
+    # CPUs). Format: comma-separated CPU ids.
+    affinity = os.environ.get('PPTPU_CPU_AFFINITY')
+    if affinity:
+        os.sched_setaffinity(0, {int(c) for c in affinity.split(',')})
+
     if nprocs > 1:
         from poreplex_tpu.parallel import distributed
         assert distributed.initialize('localhost:' + port, nprocs, rank)
@@ -37,12 +46,21 @@ def main():
     from poreplex_tpu.pipeline.session import ProcessingSession
 
     config = build_config(indir, outdir, barcoding=True, trim_adapter=True,
-                          quiet=True, device_batch_size=32)
+                          quiet=True, device_batch_size=32,
+                          prewarm=bool(os.environ.get('PPTPU_PREWARM')))
     logger = logging.getLogger('dist-session-{}'.format(rank))
     logger.addHandler(logging.NullHandler())
     logger.propagate = False
 
+    if config['prewarm']:
+        # compile every program shape before the timed session so the
+        # scaling number excludes XLA compilation
+        from poreplex_tpu.pipeline.analyzer import get_analyzer
+        get_analyzer(config)
+
+    t0 = time.perf_counter()
     printer = ProcessingSession.run(config, logger)
+    session_s = time.perf_counter() - t0
     # host 0 gets the merged printer; other hosts return None by contract
     assert (printer is not None) == (rank == 0), (rank, printer)
 
@@ -53,7 +71,8 @@ def main():
             if line:
                 manifest.append(line.split('\t')[:2])
 
-    payload = {'rank': rank, 'manifest': sorted(map(tuple, manifest))}
+    payload = {'rank': rank, 'session_s': session_s,
+               'manifest': sorted(map(tuple, manifest))}
     if rank == 0:
         # counts were merged in-place on the session's tracker before the
         # printer was returned; re-read them off the bound method

@@ -303,3 +303,29 @@ def test_bgzf_writer_roundtrip(tmp_path):
     assert gzip.open(path).read() == payload
     # every block must carry the BC extra subfield
     assert raw[:4] == bytes.fromhex('1f8b0804')
+
+
+def test_process_ingest_matches_thread_ingest(fixture_dir, tmp_path):
+    """PHASE A via spawn-context worker processes (pipeline/ingest.py)
+    must produce byte-identical summaries to the in-process thread path —
+    same statuses, barcodes, poly(A) dwells, and read set."""
+    inputdir, entries = fixture_dir
+
+    def summary_rows(outdir):
+        with open(os.path.join(outdir, 'sequencing_summary.txt')) as f:
+            lines = f.read().splitlines()
+        return sorted(lines[1:])
+
+    out_t = str(tmp_path / 'out-threads')
+    run_session(inputdir, out_t, barcoding=True, measure_polya=True,
+                filter_unsplit_reads=True, trim_adapter=True,
+                ingest_processes=0)
+    out_p = str(tmp_path / 'out-procs')
+    run_session(inputdir, out_p, barcoding=True, measure_polya=True,
+                filter_unsplit_reads=True, trim_adapter=True,
+                ingest_processes=2)
+
+    rows_t = summary_rows(out_t)
+    rows_p = summary_rows(out_p)
+    assert len(rows_t) == len(entries)
+    assert rows_t == rows_p
