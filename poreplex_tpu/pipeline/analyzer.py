@@ -79,14 +79,16 @@ class BatchAnalyzer:
                           sharding=self.kernel_sharding,
                           n_devices=self.kernel_devices,
                           use_pallas=self.engine.use_pallas,
-                          batch_rows=self.engine.batch_rows)
+                          batch_rows=self.engine.batch_rows,
+                          platform=self.engine.platform)
             if config['measure_polya'] else None)
         self.unsplit_detector = (
             UnsplitReadDetector(config, self.engine.unsplitmodel,
                                 sharding=self.kernel_sharding,
                                 n_devices=self.kernel_devices,
                                 batch_rows=self.engine.batch_rows,
-                                use_pallas=self.engine.use_pallas)
+                                use_pallas=self.engine.use_pallas,
+                                platform=self.engine.platform)
             if config['filter_unsplit_reads'] else None)
 
         if config['albacore_onthefly']:
@@ -139,7 +141,12 @@ class BatchAnalyzer:
         if self.unsplit_detector is not None:
             jobs += self.unsplit_detector.warmup_jobs()
         if self.ingest_pool is not None:
-            jobs.append(self.ingest_pool.warm)
+            def _warm_pool():
+                try:
+                    self.ingest_pool.warm()
+                except Exception:   # cannot prestart => load_batch falls
+                    traceback.print_exc()   # back to in-process ingest
+            jobs.append(_warm_pool)
         with trace('warmup'):
             with ThreadPoolExecutor(len(jobs)) as pool:
                 for f in list(pool.map(lambda job: job(), jobs)):
@@ -159,8 +166,20 @@ class BatchAnalyzer:
         results = []
         records = []
         with trace('A:fast5_load'):
+            payloads = None
             if self.ingest_pool is not None:
-                payloads, timers = self.ingest_pool.load(reads)
+                try:
+                    payloads, timers = self.ingest_pool.load(reads)
+                except Exception:
+                    # a broken worker pool must not take down the session:
+                    # disable it and ingest in-process from here on
+                    traceback.print_exc()
+                    try:
+                        self.ingest_pool.shutdown()
+                    except Exception:
+                        pass
+                    self.ingest_pool = None
+            if payloads is not None:
                 from ..utils.profiling import GLOBAL_TIMER
                 with GLOBAL_TIMER.lock:
                     for name, secs in timers.items():

@@ -125,6 +125,7 @@ class DeviceEngine:
                     self.flat_size))
 
     def _apply_platform(self, platform):
+        from ..utils.aot import AotCache
         self.platform = platform
         self.use_pallas = self._pallas_mode == 'always' or (
             self._pallas_mode == 'auto' and platform == 'tpu')
@@ -136,6 +137,12 @@ class DeviceEngine:
             self.demux.use_pallas = self.use_pallas
         self._stage1_packed = jax.jit(self._stage1_packed_impl)
         self._stage1_flat = jax.jit(self._stage1_flat_impl)
+        # AOT executable reuse (TPU): warmup installs a deserialized
+        # executable so fresh processes LOAD the fused stage-1 program
+        # instead of recompiling it (utils/aot.py)
+        self.aot = AotCache.for_platform(platform)
+        self._stage1_flat_exe = None
+        self._stage1_aot_checked = False
 
     def retarget(self, platform):
         """Re-resolve platform-dependent compilation knobs (Pallas usage,
@@ -436,7 +443,16 @@ class DeviceEngine:
 
     def dispatch_stage1_flat(self, wire):
         flat, aux = wire
-        return self._stage1_flat(jnp.asarray(flat), jnp.asarray(aux))
+        flat_d, aux_d = jnp.asarray(flat), jnp.asarray(aux)
+        if self._stage1_flat_exe is None and not self._stage1_aot_checked:
+            # un-prewarmed session: pick up an executable a previous
+            # process serialized (load-only, never compiles here)
+            self._stage1_aot_checked = True
+            self._stage1_flat_exe = self.aot.load_only(
+                'stage1_flat', flat_d, aux_d)
+        if self._stage1_flat_exe is not None:
+            return self._stage1_flat_exe(flat_d, aux_d)
+        return self._stage1_flat(flat_d, aux_d)
 
     # flat handles unpack the same way as padded ones on a single device;
     # the alias keeps the dispatch/collect interface uniform with
@@ -455,12 +471,16 @@ class DeviceEngine:
         return self.segmodel.segments_dict(first, last, present)
 
     def warmup(self):
-        """Compile the token-packed stage-1 program up front. The fused
-        stage-1 compile costs tens of seconds on a TPU (the unrolled LSTM
-        scans dominate); paying it before the first batch keeps it out of
-        session latency."""
+        """Compile-or-load the token-packed stage-1 program up front. The
+        fused stage-1 compile costs tens of seconds on a TPU (the
+        unrolled LSTM scans dominate); the AOT cache turns that into an
+        executable load on every process after the first."""
         dtype = np.uint8 if self.wire_fast else np.uint16
         aux = np.zeros((self.batch_rows, 6), np.float32)
         aux[:, 5] = 1.0
-        wire = (np.zeros(self.flat_size, dtype), aux)
-        self.collect_stage1(self.dispatch_stage1_flat(wire))
+        flat = np.zeros(self.flat_size, dtype)
+        exe = self.aot.load_or_compile(self._stage1_flat, 'stage1_flat',
+                                       jnp.asarray(flat), jnp.asarray(aux))
+        if exe is not None:
+            self._stage1_flat_exe = exe
+        self.collect_stage1(self.dispatch_stage1_flat((flat, aux)))

@@ -47,15 +47,106 @@ def _worker_ping():
 def load_batch_worker(reads):
     """reads: list of (fast5_filename, read_id).
     Returns (payloads, timers): one payload dict per read + the worker's
-    per-stage wall seconds."""
+    per-stage wall seconds. Each read goes through the native C++ HDF5
+    reader (fast5_native.py) when available; a ``None`` from the native
+    path (guppy tables, exotic layouts, any native error) re-reads that
+    read through h5py with identical semantics."""
     from .. import fast5
 
     cfg = _WCFG
     timers = {'A:open': 0.0, 'A:raw': 0.0, 'A:pool': 0.0, 'A:bcall': 0.0}
     pool = fast5.Fast5FilePool()
-    payloads = [_load_one(cfg, fast5, pool, f5file, read_id, timers)
-                for f5file, read_id in reads]
+    npool = {}
+    native = None
+    if cfg['event_columns'] is not None:    # full-table dumps stay on h5py
+        from .. import fast5_native
+        if fast5_native.get_library() is not None:
+            native = fast5_native
+
+    payloads = []
+    for f5file, read_id in reads:
+        p = None
+        if native is not None:
+            try:
+                p = _load_one_native(cfg, native, npool, f5file, read_id,
+                                     timers)
+            except Exception:
+                p = None
+        if p is None:
+            p = _load_one(cfg, fast5, pool, f5file, read_id, timers)
+        payloads.append(p)
+    for nf in npool.values():
+        if nf is not None:
+            nf.close()
     return payloads, timers
+
+
+def _load_one_native(cfg, mod, npool, f5file, read_id, timers):
+    """Native-reader mirror of _load_one; returns None to request the
+    h5py fallback (which also owns all error-status decisions — the
+    native path only handles clean reads)."""
+    clock = time.perf_counter
+    path = os.path.join(cfg['inputdir'], f5file)
+    if not os.path.exists(path):
+        return {'filename': f5file, 'read_id': read_id,
+                'status': 'disappeared'}
+    nf = npool.get(path, False)
+    if nf is False:
+        nf = mod.NativeFast5.open(path)
+        npool[path] = nf
+    if nf is None:
+        return None
+
+    t0 = clock()
+    nodes = nf.nodes_for(read_id)
+    if nodes is None:
+        return None
+    raw_node, channel_node, tracking_node, signal_path, analyses_node = nodes
+    meta = nf.read_meta(raw_node, channel_node, tracking_node)
+    timers['A:open'] += clock() - t0
+    if meta is None or (not nf.is_multiread and
+                        meta['read_id'] != read_id):
+        return None
+
+    p = {'filename': f5file, 'read_id': read_id,
+         'status': 'okay', 'stopped': False}
+    p['meta'] = (meta['sampling_rate'], meta['duration'],
+                 meta['channel_number'],
+                 round(meta['start_time'] / meta['sampling_rate'], 3),
+                 meta['run_id'], meta['sample_id'])
+
+    sigload_length = min(cfg['scaler_input_length'], meta['duration'])
+    sigload_length -= sigload_length % cfg['stride']
+    if sigload_length < cfg['scaler_min_length']:
+        p.update(status='scaler_signal_too_short', stopped=True)
+        return p
+
+    t0 = clock()
+    raw = nf.read_signal(signal_path, meta['duration'])
+    timers['A:raw'] += clock() - t0
+    if raw is None:
+        return None
+
+    t0 = clock()
+    stride = cfg['stride']
+    pa = meta['range'] / meta['digitisation']
+    pa_scale = np.float32(pa)
+    pa_shift = np.float32(pa * meta['offset'])
+    trimmed = raw[:len(raw) - len(raw) % stride]
+    pooled = trimmed.reshape(-1, stride).mean(axis=1, dtype=np.float32)
+    p['raw_dac'] = raw
+    p['calib'] = (float(pa), float(meta['offset']))
+    p['pooled'] = pooled * pa_scale + pa_shift
+    p['head_len'] = min(cfg['scaler_pooled_length'], len(p['pooled']))
+    timers['A:pool'] += clock() - t0
+
+    t0 = clock()
+    bcall = nf.read_basecall(analyses_node)
+    timers['A:bcall'] += clock() - t0
+    if bcall == 'fallback':
+        return None
+    p['bcall'] = bcall
+    return p
 
 
 def _load_one(cfg, fast5mod, pool, f5file, read_id, timers):

@@ -81,6 +81,9 @@ def _bucket_len(n):
     return ((n + _BUCKETS[-1] - 1) // _BUCKETS[-1]) * _BUCKETS[-1]
 
 
+_UNSET = object()       # lazy AOT lookup sentinel (None = checked, absent)
+
+
 class _Task:
     __slots__ = ('read', 'rough_begin', 'rough_end', 'orig_end_none',
                  'polya_range', 'depth', 'signal', 'qaffine', 'insp_begin',
@@ -106,7 +109,7 @@ class PolyaAnalyzer:
     ]
 
     def __init__(self, config, sharding=None, n_devices=1, use_pallas=False,
-                 batch_rows=128):
+                 batch_rows=128, platform=None):
         for name in self.CONFIG_SLOTS:
             setattr(self, name, config[name])
         # batch-sharded kernel placement on a multi-chip mesh (pass-through
@@ -116,6 +119,15 @@ class PolyaAnalyzer:
         # fused TPU peak-detector kernel (ops/pallas_event_detection)
         self.use_pallas = use_pallas
         self.max_peaks = 1023
+        # AOT executable reuse for the fused round programs (utils/aot.py);
+        # warmup installs one executable per (stream size, bucket) so
+        # fresh processes load instead of compiling. Single-device only —
+        # sharded launches keep the plain jit.
+        from ..utils.aot import AotCache
+        self._aot = AotCache.for_platform(
+            platform if platform is not None else
+            ('tpu' if use_pallas else 'cpu'))
+        self._aot_exes = {}
 
         mean_loc, mean_scale = config['polya_mean_dist']
         self.polya_mean_cutoff = (
@@ -355,9 +367,20 @@ class PolyaAnalyzer:
                     # device-side slice: no extra host->device transfer
                     meta_dev = meta_all_dev[base:base + rows]
                 base += rows
-                out = round_ops.polya_round(
-                    stream_dev, meta_dev, blen=blen,
-                    **self._kernel_kwargs)
+                exe = None
+                if not sharded:
+                    exe = self._aot_exes.get((size, blen, rows), _UNSET)
+                    if exe is _UNSET:   # un-prewarmed session: try a
+                        exe = self._aot.load_only(   # load-only pickup
+                            'polya_round', stream_dev, meta_dev,
+                            blen=blen, **self._kernel_kwargs)
+                        self._aot_exes[(size, blen, rows)] = exe
+                if exe is not None:
+                    out = exe(stream_dev, meta_dev)
+                else:
+                    out = round_ops.polya_round(
+                        stream_dev, meta_dev, blen=blen,
+                        **self._kernel_kwargs)
                 launches.append((chunk, rows, blen, size, out))
         return launches
 
@@ -389,10 +412,21 @@ class PolyaAnalyzer:
                 meta[:, 6] = 1.0
                 meta[0] = (0, n, 0, *self.polya_mean_cutoff, 0.0, 1.0)
                 meta_dev, = self._put_meta(meta)
-                out = round_ops.polya_round(
-                    self._put_stream(stream), meta_dev, blen=blen,
-                    **self._kernel_kwargs)
-                np.asarray(out)
+                stream_dev = self._put_stream(stream)
+                sharded = self.sharding is not None and self.n_devices > 1
+                exe = None
+                if not sharded:
+                    exe = self._aot.load_or_compile(
+                        round_ops.polya_round, 'polya_round',
+                        stream_dev, meta_dev, blen=blen,
+                        **self._kernel_kwargs)
+                if exe is not None:
+                    self._aot_exes[(size, blen, rows)] = exe
+                    np.asarray(exe(stream_dev, meta_dev))
+                else:
+                    np.asarray(round_ops.polya_round(
+                        stream_dev, meta_dev, blen=blen,
+                        **self._kernel_kwargs))
                 _SEEN_SHAPES.add(('round', rows, blen, size))
             return run
         return [job(size, blen) for size in _STREAM_SIZES

@@ -39,7 +39,7 @@ class UnsplitReadDetector:
     MAX_RUNS = 16
 
     def __init__(self, config, unsplit_model, sharding=None, n_devices=1,
-                 batch_rows=128, use_pallas=False):
+                 batch_rows=128, use_pallas=False, platform=None):
         self.config = config['unsplit_read_detection']
         self.model = unsplit_model
         # batch-sharded Viterbi placement on a multi-chip mesh
@@ -60,6 +60,28 @@ class UnsplitReadDetector:
         self._leader_mask = jnp.asarray(leader_mask)
         self._decode_runs = jax.jit(self._decode_runs_impl,
                                     static_argnames=('emax',))
+        # AOT executable reuse per event bucket (utils/aot.py); installed
+        # by warmup, single-device dispatches only
+        from ..utils.aot import AotCache
+        self._aot = AotCache.for_platform(
+            platform if platform is not None else
+            ('tpu' if use_pallas else 'cpu'))
+        self._aot_exes = {}
+
+    _UNSET = object()
+
+    def _run_decode(self, stream_dev, meta_dev, emax):
+        exe = None
+        if self.sharding is None or self.n_devices <= 1:
+            key = (stream_dev.shape[0], emax)
+            exe = self._aot_exes.get(key, self._UNSET)
+            if exe is self._UNSET:  # un-prewarmed: load-only pickup
+                exe = self._aot.load_only('unsplit_decode_runs',
+                                          stream_dev, meta_dev, emax=emax)
+                self._aot_exes[key] = exe
+        if exe is not None:
+            return exe(stream_dev, meta_dev)
+        return self._decode_runs(stream_dev, meta_dev, emax=emax)
 
     # ------------------------------------------------------------------
     def collect_windows(self, read, segments, elspan):
@@ -190,7 +212,7 @@ class UnsplitReadDetector:
             stream_dev = self._put_stream(stream)
             meta_dev, = self._put_meta(meta)
             launches.append(
-                (chunk, self._decode_runs(stream_dev, meta_dev, emax=emax)))
+                (chunk, self._run_decode(stream_dev, meta_dev, emax)))
         runs = []
         overflow = []           # (result slot, job)
         K = self.MAX_RUNS
@@ -303,6 +325,14 @@ class UnsplitReadDetector:
                 stream = self._put_stream(
                     np.zeros(self.STREAM_SIZE, np.float32))
                 meta, = self._put_meta(np.zeros((self.rows, 2), np.int32))
+                if self.sharding is None or self.n_devices <= 1:
+                    exe = self._aot.load_or_compile(
+                        self._decode_runs, 'unsplit_decode_runs',
+                        stream, meta, emax=emax)
+                    if exe is not None:
+                        self._aot_exes[(stream.shape[0], emax)] = exe
+                        np.asarray(exe(stream, meta))
+                        return
                 np.asarray(self._decode_runs(stream, meta, emax=emax))
             return run
         return [job(emax) for emax in self.EVENT_BUCKETS]

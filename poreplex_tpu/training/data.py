@@ -97,13 +97,20 @@ def load_adapter_windows(inventory_path, trim_length=300, read_ids=None,
 def dumps_dataset(runs, trim_length=300, rng=None):
     """Build a demux training set from per-class dump inventories.
 
-    runs: list of (inventory_path, label) with label 0 = decoy,
-    1..4 = barcodes (one barcoded control run per class, the reference's
-    training design: training/barcodes/Snakefile). Returns shuffled
+    runs: list of (inventory_path, label[, keep_read_ids]) with label
+    0 = decoy, 1..4 = barcodes (one barcoded control run per class, the
+    reference's training design: training/barcodes/Snakefile). The
+    optional keep set restricts a run to contamination-filtered reads
+    (training.workflow.filter_contaminated_reads). Returns shuffled
     (windows [N, T], labels [N])."""
     windows, labels = [], []
-    for path, label in runs:
-        w, _ = load_adapter_windows(path, trim_length)
+    for entry in runs:
+        path, label = entry[0], entry[1]
+        keep = entry[2] if len(entry) > 2 else None
+        w, ids = load_adapter_windows(path, trim_length)
+        if keep is not None:
+            sel = np.fromiter((rid in keep for rid in ids), bool, len(ids))
+            w = w[sel]
         windows.append(w)
         labels.append(np.full(len(w), label, np.int32))
     windows = np.concatenate(windows) if windows else \

@@ -83,12 +83,19 @@ def save_checkpoint(path, params, transform, input_defs):
 
 
 def train(output_path, steps=400, batch_size=32, n_samples=2000, seed=0,
-          learning_rate=1e-3, eval_fraction=0.2, log=print, mesh=None):
+          learning_rate=1e-3, eval_fraction=0.2, log=print, mesh=None,
+          data=None):
     """mesh: optional jax.sharding.Mesh for data-parallel training (batch
     sharded over the 1-D 'batch' axis, params replicated — the pjit DP
-    layout of SURVEY.md §2.3)."""
+    layout of SURVEY.md §2.3). data: optional (heads [N, 2000], targets
+    [N, 2]) override — the scaler DAG (scaler_workflow.py) passes its
+    extracted + redispersed arrays here; default is the synthetic set."""
     rng = np.random.RandomState(seed)
-    heads, targets = scaler_dataset(n_samples, rng)
+    heads, targets = (data if data is not None
+                      else scaler_dataset(n_samples, rng))
+    heads = np.asarray(heads, np.float32)
+    targets = np.asarray(targets, np.float32)
+    n_samples = len(heads)
     n_eval = int(n_samples * eval_fraction)
     tr_h, tr_t = heads[n_eval:], targets[n_eval:]
     ev_h, ev_t = heads[:n_eval], targets[:n_eval]

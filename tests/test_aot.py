@@ -1,0 +1,42 @@
+"""AOT executable cache (utils/aot.py): compile-once, load-everywhere."""
+
+import numpy as np
+
+from poreplex_tpu.utils.aot import AotCache
+
+
+def test_aot_cache_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    cache = AotCache(cache_dir=str(tmp_path), enabled=True)
+    fn = jax.jit(lambda x, k: x * k + 1.0, static_argnames=('k',))
+    x = jnp.ones((8, 16))
+
+    exe = cache.load_or_compile(fn, 'toy', x, k=3.0)
+    assert exe is not None
+    assert cache.misses == 1
+    np.testing.assert_allclose(np.asarray(exe(x)), 4.0)
+
+    # a fresh cache instance (simulating a new process) must LOAD the
+    # serialized executable rather than recompile — unless this backend
+    # cannot serialize executables, in which case no file was written
+    import os
+    files = [f for f in os.listdir(str(tmp_path)) if f.endswith('.aotx')]
+    cache2 = AotCache(cache_dir=str(tmp_path), enabled=True)
+    exe2 = cache2.load_or_compile(fn, 'toy', x, k=3.0)
+    if files:
+        assert cache2.hits == 1
+    np.testing.assert_allclose(np.asarray(exe2(x)), 4.0)
+
+    # different static kwarg -> different entry, correct program
+    exe3 = cache2.load_or_compile(fn, 'toy', x, k=5.0)
+    np.testing.assert_allclose(np.asarray(exe3(x)), 6.0)
+
+
+def test_aot_cache_disabled_returns_none(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    cache = AotCache(cache_dir=str(tmp_path), enabled=False)
+    fn = jax.jit(lambda x: x + 1)
+    assert cache.load_or_compile(fn, 'toy', jnp.ones(4)) is None

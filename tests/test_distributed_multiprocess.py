@@ -12,6 +12,9 @@ import sys
 
 import pytest
 
+# full-session / workflow tests take minutes; `-m "not slow"` skips them
+pytestmark = pytest.mark.slow
+
 from poreplex_tpu.parallel import distributed
 
 TESTS_DIR = os.path.dirname(os.path.abspath(__file__))

@@ -9,6 +9,9 @@ import h5py
 import numpy as np
 import pytest
 
+# full-session / workflow tests take minutes; `-m "not slow"` skips them
+pytestmark = pytest.mark.slow
+
 from poreplex_tpu import simulate
 from poreplex_tpu.config import build_config
 from poreplex_tpu.pipeline.analyzer import process_batch

@@ -6,6 +6,9 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# full-session / workflow tests take minutes; `-m "not slow"` skips them
+pytestmark = pytest.mark.slow
+
 from poreplex_tpu.training import losses
 from poreplex_tpu.training.train_demux import (
     train as train_demux, compute_calibration_table)
@@ -235,4 +238,179 @@ def test_training_workflow_end_to_end(tmp_path):
     # DAG freshness: a second invocation reuses every stage
     logs2 = []
     run_workflow(runs, outdir, steps=120, seed=3, log=logs2.append)
+    assert all('up to date' in line for line in logs2)
+
+
+def test_contamination_filter_drops_cross_aligned_reads(tmp_path):
+    """The alignment-based contamination filter (role of the reference's
+    training/barcodes/workflows/sequence_alignments.py + process_scores):
+    reads whose best alignment lands on ANOTHER barcode's transcriptome
+    must be dropped from that run's training set, and the per-run
+    alignment-scores tables must be written."""
+    from poreplex_tpu.simulate import make_fixture_dir
+    from poreplex_tpu.training.workflow import (run_workflow,
+                                                _read_fastq_sequences)
+
+    runs = []
+    for bc in range(2):
+        rundir = str(tmp_path / 'run-bc{}'.format(bc + 1))
+        make_fixture_dir(rundir, n_reads=8, seed=70 + bc, barcode=bc,
+                         transcript_len=3000, polya_len=1200,
+                         adapter_len=5200)
+        runs.append(('BC{}'.format(bc + 1), rundir))
+    outdir = str(tmp_path / 'training-out')
+
+    # fake per-reference aligners: every read maps to its own run's
+    # reference except one designated contaminant read per run, which
+    # maps (better) to the OTHER reference
+    contaminants = set()
+
+    class Hit:
+        def __init__(self, m):
+            self.cigar_str = '{}M'.format(m)
+
+    class FakeRefAligner:
+        def __init__(self, reference):
+            self.label = os.path.basename(reference).split('.')[0]
+
+        def map(self, seq):
+            own = seq_home[seq]
+            if seq in contaminated_seqs:
+                # contaminant: strong hit on the OTHER reference
+                yield Hit(900 if self.label != own else 100)
+            elif self.label == own:
+                yield Hit(800)
+
+    refs = {label: os.path.join(str(tmp_path), label + '.fa')
+            for label, _ in runs}
+
+    # run prepare once (no filter) to learn the sequences, then mark one
+    # read per run as a contaminant and run the filtered workflow
+    seq_home = {}
+    contaminated_seqs = set()
+    acc = run_workflow(runs, outdir, steps=60, seed=3,
+                       log=lambda *a: None)
+    for label, _ in runs:
+        pdir = os.path.join(outdir, 'prepare', label)
+        pairs = list(_read_fastq_sequences(pdir))
+        assert pairs, 'prepare produced no FASTQ for ' + label
+        for read_id, seq in pairs:
+            seq_home[seq] = label
+        contaminants.add(pairs[0][0])
+        contaminated_seqs.add(pairs[0][1])
+
+    logs = []
+    run_workflow(runs, outdir, steps=60, seed=3, force=True,
+                 references=refs, make_aligner=FakeRefAligner,
+                 log=logs.append)
+
+    for label, _ in runs:
+        table = os.path.join(outdir, 'tables',
+                             'alignment-scores-{}.tsv'.format(label))
+        assert os.path.exists(table)
+        with open(table) as f:
+            header = f.readline().rstrip('\n').split('\t')
+            rows = {r.split('\t')[0]: r.rstrip('\n').split('\t')
+                    for r in f}
+        verdict = dict(zip(header, [None] * len(header)))
+        dropped = {rid for rid, row in rows.items() if row[-1] == 'drop'}
+        kept = {rid for rid, row in rows.items() if row[-1] == 'keep'}
+        assert dropped == {rid for rid in contaminants if rid in rows}
+        assert len(kept) == len(rows) - len(dropped)
+    assert any('filter:' in line for line in logs)
+
+
+def test_calculate_scaling_params_recovers_affine():
+    """Theil-Sen target derivation (extract-signals.py semantics): event
+    means generated as the inverse affine of the kmer model levels must
+    regress back to the planted (scale, shift)."""
+    import pandas as pd
+    from poreplex_tpu.config import load_preset
+    from poreplex_tpu.training.scaler_workflow import calculate_scaling_params
+
+    kmertbl = pd.read_csv(load_preset()['kmer_model'], header=0,
+                          index_col=0, sep='\t')
+    levels = kmertbl['level_mean'].to_dict()
+    kmers = list(levels)[:120]
+
+    rng = np.random.RandomState(4)
+    scale, shift = 1.07, -4.2          # level = scale * mean + shift
+    events = {
+        'move': np.ones(len(kmers), np.int64),
+        'model_state': np.asarray(kmers, dtype='S5'),
+        'mean': np.asarray([(levels[k] - shift) / scale for k in kmers]) +
+        rng.normal(0, 0.05, len(kmers)),
+    }
+    got = calculate_scaling_params(events, levels)
+    assert got is not None
+    assert abs(got[0] - scale) < 0.02
+    assert abs(got[1] - shift) < 1.5
+
+
+def test_scaler_workflow_end_to_end(tmp_path):
+    """The scaler-training DAG (role of training/signal-scaling/
+    Snakefile): extract (events + signal heads from basecalled FAST5
+    runs) -> purify -> split/redisperse -> train -> evaluate, with
+    freshness skipping on the second invocation."""
+    import h5py
+    import pandas as pd
+    from poreplex_tpu.config import load_preset
+    from poreplex_tpu.simulate import make_fixture_dir
+    from poreplex_tpu.training import scaler_workflow
+
+    preset = load_preset()
+    kmertbl = pd.read_csv(preset['kmer_model'], header=0, index_col=0,
+                          sep='\t')
+    levels = kmertbl['level_mean'].to_dict()
+    rng = np.random.RandomState(9)
+
+    runs = []
+    for r in range(2):
+        rundir = str(tmp_path / 'run{}'.format(r))
+        make_fixture_dir(rundir, n_reads=10, seed=90 + r,
+                         transcript_len=3000, polya_len=1200,
+                         adapter_len=5200)
+        # rewrite event means as a per-read affine of the kmer levels so
+        # the Theil-Sen targets are well-defined
+        for fn in sorted(os.listdir(rundir)):
+            if not fn.endswith('.fast5'):
+                continue
+            with h5py.File(os.path.join(rundir, fn), 'r+') as f5:
+                for node in f5:
+                    if not node.startswith('read_'):
+                        continue
+                    scale = rng.uniform(0.85, 1.15)
+                    shift = rng.uniform(-8, 8)
+                    for dsname in ['{}/Analyses/Basecall_1D_000/'
+                                   'BaseCalled_template/Events'.format(node)]:
+                        ev = f5[dsname][()]
+                        states = [s.decode() if isinstance(s, bytes)
+                                  else str(s) for s in ev['model_state']]
+                        lv = np.asarray([levels.get(s, 92.0)
+                                         for s in states])
+                        ev['mean'] = ((lv - shift) / scale +
+                                      rng.normal(0, 0.05, len(lv)))
+                        del f5[dsname]
+                        f5.create_dataset(dsname, data=ev)
+        runs.append(rundir)
+
+    outdir = str(tmp_path / 'scaler-out')
+    logs = []
+    lines = scaler_workflow.run_workflow(runs, outdir,
+                                         preset['kmer_model'],
+                                         steps=60, log=logs.append)
+    assert os.path.exists(os.path.join(outdir, 'scaler-model.npz'))
+    assert os.path.exists(os.path.join(outdir, 'evaluation.txt'))
+    assert any(l.startswith('pearson_r\tscale') for l in lines)
+    assert any(l.startswith('rmsd\tshift') for l in lines)
+
+    # checkpoint loads through the production model class
+    from poreplex_tpu.models.scaler import ScalerModel
+    model = ScalerModel(os.path.join(outdir, 'scaler-model.npz'), 0.001)
+    pred, qc = model.predict(np.zeros((2, model.pooled_length), np.float32))
+    assert pred.shape == (2, 2)
+
+    logs2 = []
+    scaler_workflow.run_workflow(runs, outdir, preset['kmer_model'],
+                                 steps=60, log=logs2.append)
     assert all('up to date' in line for line in logs2)
