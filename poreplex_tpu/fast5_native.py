@@ -35,6 +35,26 @@ _STR_CAP = 256
 _lib = None
 _lib_tried = False
 
+# per-process scratch reused across reads (ingest workers are
+# single-threaded): a fresh 5 MB event buffer per read showed up as the
+# dominant ingest cost in the e2e profile
+_EVENT_BUF = None
+_FASTQ_BUF = None
+
+
+def _event_scratch(max_events):
+    global _EVENT_BUF
+    if _EVENT_BUF is None or len(_EVENT_BUF) < max_events:
+        _EVENT_BUF = np.empty(max_events, EVENT_DTYPE)
+    return _EVENT_BUF
+
+
+def _fastq_scratch(cap):
+    global _FASTQ_BUF
+    if _FASTQ_BUF is None or ctypes.sizeof(_FASTQ_BUF) < cap:
+        _FASTQ_BUF = ctypes.create_string_buffer(cap)
+    return _FASTQ_BUF
+
 
 def _hdf5_candidates():
     env = os.environ.get('PPTPU_HDF5_LIB')
@@ -246,7 +266,7 @@ class NativeFast5:
             return 'fallback'       # guppy Move encoding
         nmem = ctypes.c_longlong(0)
         ssize = ctypes.c_longlong(5)
-        rows = np.empty(max_events, EVENT_DTYPE)
+        rows = _event_scratch(max_events)
         n = lib.f5i_read_events(self.fid, events_path.encode(),
                                 rows.ctypes.data_as(ctypes.c_void_p),
                                 max_events, ctypes.byref(nmem),
@@ -256,7 +276,7 @@ class NativeFast5:
         if n < 0:
             return 'fallback'
 
-        fastq = ctypes.create_string_buffer(fastq_cap)
+        fastq = _fastq_scratch(fastq_cap)
         fq_n = lib.f5i_read_string_dataset(
             self.fid, (group + '/BaseCalled_template/Fastq').encode(),
             fastq, fastq_cap)
@@ -294,11 +314,12 @@ class NativeFast5:
 
         from .fast5 import EventTable
         rows = rows[:n]
+        # copy the columns out — ``rows`` is the reused scratch buffer
         events = EventTable({
-            'mean': rows['mean'],
-            'start': rows['start'],
-            'move': rows['move'],
-            'p_model_state': rows['p_model_state'],
+            'mean': rows['mean'].copy(),
+            'start': rows['start'].copy(),
+            'move': rows['move'].copy(),
+            'p_model_state': rows['p_model_state'].copy(),
             'model_state': rows['model_state'].astype(
                 'S{}'.format(max(1, int(ssize.value)))),
         })

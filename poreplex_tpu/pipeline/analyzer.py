@@ -325,6 +325,19 @@ class BatchAnalyzer:
                         rec.filename, rec.read_id, exc)
                     rec.set_error(err['status'], err['error_message'])
 
+        # dispatch the unsplit Viterbi + run-extraction BEFORE collecting
+        # the poly(A) round, so its device work and downloads ride under
+        # the poly(A) wavefront instead of blocking the compute thread
+        unsplit_state = None
+        if unsplit_jobs:
+            flat = [(rec, lo, hi) for rec, _, windows in unsplit_jobs
+                    for lo, hi in windows]
+            try:
+                with trace('C:unsplit_dispatch'):
+                    unsplit_state = self.unsplit_detector.start_decode(flat)
+            except Exception:
+                traceback.print_exc()
+
         if polya_state is not None:
             try:
                 with trace('C:polya'):
@@ -337,12 +350,9 @@ class BatchAnalyzer:
                 polya_state = None
                 traceback.print_exc()
 
-        # batched unsplit Viterbi + device-side run extraction
-        if unsplit_jobs:
-            flat = [(rec, lo, hi) for rec, _, windows in unsplit_jobs
-                    for lo, hi in windows]
+        if unsplit_state is not None:
             with trace('C:unsplit_viterbi'):
-                runs = self.unsplit_detector.decode_runs_batched(flat)
+                runs = self.unsplit_detector.finish_decode(unsplit_state)
             cursor = 0
             with trace('C:unsplit_analyze'):
                 for rec, payload_start, windows in unsplit_jobs:

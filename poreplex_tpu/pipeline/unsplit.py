@@ -193,17 +193,14 @@ class UnsplitReadDetector:
                                axis=1)
 
     # ------------------------------------------------------------------
-    def decode_runs_batched(self, jobs):
-        """jobs: list of (read, lo, hi) contiguous event-slice windows.
-        Uploads each read's scaled_mean stream once + a tiny [R, 2] meta
-        table, runs the fused Viterbi + run-extraction (compiled shape
-        varies only with the event-count bucket), and downloads the
-        [R, K*3+1] trio table. Returns one [k, 3] i64 array of
-        (leader_start, first, last) trios per window. All launches are
-        dispatched before any result is awaited; overflowing windows
-        (> K adapter runs) are re-decoded via the full-path kernel."""
+    def start_decode(self, jobs):
+        """Dispatch the fused Viterbi + run-extraction for every window
+        and start a pump thread awaiting the downloads (over the tunnel,
+        dispatched computations only progress while something awaits
+        them) — callers interleave host work before finish_decode."""
         if not jobs:
-            return []
+            return None
+        import threading
         launches = []
         cursor = 0
         while cursor < len(jobs):
@@ -213,12 +210,32 @@ class UnsplitReadDetector:
             meta_dev, = self._put_meta(meta)
             launches.append(
                 (chunk, self._run_decode(stream_dev, meta_dev, emax)))
+        results = [None] * len(launches)
+
+        def pump():
+            for i, (chunk, handle) in enumerate(launches):
+                results[i] = np.asarray(handle)
+
+        pump_thread = threading.Thread(target=pump, daemon=True)
+        pump_thread.start()
+        return launches, results, pump_thread
+
+    def finish_decode(self, state):
+        """Await the dispatched decodes and return one [k, 3] i64 array
+        of (leader_start, first, last) trios per window; overflowing
+        windows (> K adapter runs) are re-decoded via the full-path
+        kernel."""
+        if state is None:
+            return []
+        launches, results, pump_thread = state
+        pump_thread.join()
         runs = []
         overflow = []           # (result slot, job)
         K = self.MAX_RUNS
         base = 0
-        for chunk, handle in launches:
-            arr = np.asarray(handle)
+        for li, (chunk, handle) in enumerate(launches):
+            arr = results[li] if results[li] is not None \
+                else np.asarray(handle)
             for i, job in enumerate(chunk):
                 count = int(arr[i, 3 * K])
                 if count > K:
@@ -232,6 +249,15 @@ class UnsplitReadDetector:
             path = self.decode_paths_batched([job])[0]
             runs[slot] = self._runs_from_path(path)
         return runs
+
+    def decode_runs_batched(self, jobs):
+        """jobs: list of (read, lo, hi) contiguous event-slice windows.
+        Uploads each read's scaled_mean stream once + a tiny [R, 2] meta
+        table, runs the fused Viterbi + run-extraction (compiled shape
+        varies only with the event-count bucket), and downloads the
+        [R, K*3+1] trio table (see start_decode/finish_decode for the
+        overlapped form)."""
+        return self.finish_decode(self.start_decode(jobs))
 
     def _runs_from_path(self, path):
         """Host fallback: the reference's run walk verbatim
