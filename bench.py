@@ -28,8 +28,10 @@ import time
 
 import numpy as np
 
-BATCH = 128
-N_READS = 256
+BATCH = 256      # device rows: sequential scans (LSTM/Viterbi) amortize
+                 # per-step overhead across lanes — measured stage-1
+                 # device ceilings 1984 (B=128) / 2553 (B=256) reads/s
+N_READS = 512
 CPU_SAMPLE = 24          # CPU baseline measured on a subsample, scaled
 E2E_READS = 2048
 E2E_READS_PER_FILE = 32  # multi-read FAST5 packing of the fixture set
@@ -65,14 +67,19 @@ def make_inputs(engine, n_reads, seed=7):
     return heads, pooled, pooled_len
 
 
-def bench_tpu(engine, pooled, pooled_len, inflight=8):
-    """Pipelined token-packed transport (what the analyzer uses): keeps
-    `inflight` batches dispatched so wire uploads overlap compute."""
+def bench_tpu(engine, pooled, pooled_len, inflight=4):
+    """Pipelined token-packed transport, production-shaped: dispatches
+    from the main thread while a PUMP thread awaits results (over the
+    tunnel, dispatched computations only progress while something awaits
+    them — exactly how the analyzer drives stage-1). inflight=4 measured
+    best (2 underfeeds the pipeline, 8 degrades the tunnel queue)."""
+    import queue
+    import threading
+
     n = len(pooled)
     hl = engine.scaler.pooled_length
     reads = [(pooled[i, :pooled_len[i]], int(pooled_len[i]),
               min(hl, int(pooled_len[i]))) for i in range(n)]
-    nb = (n + BATCH - 1) // BATCH
 
     groups = []          # read-list slices, one per device dispatch
     rest = reads
@@ -83,27 +90,34 @@ def bench_tpu(engine, pooled, pooled_len, inflight=8):
         engine.collect_stage1(engine.dispatch_stage1_flat(wire))
         rest = rest[cnt:]
 
-    def dispatch(i):
-        # re-marshal each time: packing cost is part of the steady state
-        wire, cnt = engine.pack_stage1_flat(groups[i % len(groups)])
-        return engine.dispatch_stage1_flat(wire), cnt
     samples = []
     for _ in range(STAGE1_REPS):
-        t0 = time.time()
-        reps = done = 0
-        pending = []
-        while time.time() - t0 < 3.0 or reps < 2 * nb:
-            h, cnt = dispatch(reps)
-            pending.append((h, cnt))
-            reps += 1
-            if len(pending) >= inflight:
-                h, cnt = pending.pop(0)
+        q = queue.Queue()
+        done = [0]
+
+        def pump():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                h, cnt = item
                 engine.collect_stage1(h)
-                done += cnt
-        for h, cnt in pending:
-            engine.collect_stage1(h)
-            done += cnt
-        samples.append(round(done / (time.time() - t0), 2))
+                done[0] += cnt
+
+        th = threading.Thread(target=pump)
+        th.start()
+        t0 = time.time()
+        i = 0
+        while time.time() - t0 < 3.0 or i < 2 * len(groups):
+            while q.qsize() >= inflight:
+                time.sleep(0.001)
+            # re-marshal each time: packing cost is part of steady state
+            wire, cnt = engine.pack_stage1_flat(groups[i % len(groups)])
+            q.put((engine.dispatch_stage1_flat(wire), cnt))
+            i += 1
+        q.put(None)
+        th.join()
+        samples.append(round(done[0] / (time.time() - t0), 2))
     return _spread(samples)
 
 
@@ -239,7 +253,8 @@ def bench_e2e(n_reads, reps=E2E_REPS):
         config = build_config(indir, outdir, barcoding=True,
                               measure_polya=True, filter_unsplit_reads=True,
                               trim_adapter=True, quiet=True, prewarm=True,
-                              parallel=4,      # ingest threads (-p 4)
+                              parallel=4,      # ingest workers (-p 4)
+                              batch_chunk_size=BATCH,
                               device_batch_size=BATCH)
         logger = logging.getLogger('bench-e2e')
         logger.addHandler(logging.NullHandler())

@@ -349,13 +349,15 @@ def __main__():
     group = parser.add_argument_group('Pipeline Options')
     group.add_argument('-p', '--parallel', default=1, type=int,
                        metavar='COUNT',
-                       help='number of host ingest worker threads '
+                       help='number of host ingest worker processes '
                             '(poreplex-compatible flag; device compute is '
                             'batched on the accelerator regardless; '
                             'default: 1)')
-    group.add_argument('--device-batch-size', default=128, type=int,
+    group.add_argument('--device-batch-size', default=256, type=int,
                        metavar='SIZE',
-                       help='reads per device batch (default: 128)')
+                       help='reads per device batch (default: 256; larger '
+                            'batches raise sequential-scan lane '
+                            'utilization on TPU)')
     group.add_argument('--pallas', default='auto',
                        choices=('auto', 'always', 'never'),
                        help='fused Pallas TPU kernels for the Viterbi '
@@ -372,9 +374,9 @@ def __main__():
                             'batch latency; recommended with --live)')
     group.add_argument('--tmpdir', default='', type=str, metavar='DIR',
                        help='temporary directory for intermediate data')
-    group.add_argument('--batch-size', default=128, type=int, metavar='SIZE',
+    group.add_argument('--batch-size', default=256, type=int, metavar='SIZE',
                        help='number of reads in a single batch '
-                            '(default: 128)')
+                            '(default: 256)')
     group.add_argument('--cpu', default=False, action='store_true',
                        help='run device compute on the host CPU backend '
                             'instead of TPU')
