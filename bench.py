@@ -383,12 +383,20 @@ def bench_scaling_cpu(n_files=16):
             shutil.rmtree(tmpd, ignore_errors=True)
 
     try:
-        t1 = run(1, '29531')
-        t2 = run(2, '29533')
+        # two reps: single-shot session walls on a busy 2-vCPU host vary
+        # enough to swing the ratio by ~0.1
+        effs, t1s, t2s = [], [], []
+        for rep in range(2):
+            t1 = run(1, '2953{}'.format(1 + 2 * rep))
+            t2 = run(2, '2953{}'.format(2 + 2 * rep))
+            t1s.append(round(t1, 2))
+            t2s.append(round(t2, 2))
+            effs.append(round(t1 / (2 * t2), 3))
     finally:
         shutil.rmtree(indir, ignore_errors=True)
-    return {'t1_s': round(t1, 2), 't2_s': round(t2, 2),
-            'efficiency': round(t1 / (2 * t2), 3),
+    return {'t1_s': t1s, 't2_s': t2s,
+            'efficiency': round(sum(effs) / len(effs), 3),
+            'efficiency_reps': effs,
             'n_reads': n_reads, 'hosts': 2, 'cpus_per_host': 1}
 
 
