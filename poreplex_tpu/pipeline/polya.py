@@ -62,7 +62,13 @@ _MAX_SPIKES = 128
 
 # speculative extension depth: rows submitted per task per round —
 # balances extra launch/compute cost per round against chains that
-# outrun the speculation and cost a real (un-overlapped) round trip
+# outrun the speculation and cost a real (un-overlapped) round trip.
+# ADAPTIVE: a fresh round-1 task usually accepts at depth 0 (the HMM's
+# rough range covers the tail), so its window only carries one
+# speculative extension (+~1000 samples instead of +3000 — the window
+# stream is upload-bandwidth-bound over the tunnel); a task that has
+# ALREADY extended is demonstrably in a chain and speculates deeper.
+_SPEC_DEPTH_FIRST = 2
 _SPEC_DEPTH = 4
 
 # packing-safe window cap: the interval DP packs (prefix + _VOFF) * kmax + j
@@ -249,7 +255,8 @@ class PolyaAnalyzer:
         task.adapter_end = rough_begin * stride - insp_begin
 
         spec = []
-        for r in range(_SPEC_DEPTH):
+        depth_budget = _SPEC_DEPTH if task.depth > 0 else _SPEC_DEPTH_FIRST
+        for r in range(depth_budget):
             insp_end = min(full, (rough_end + r * meu + 1) * stride +
                            self.refinement_expansion,
                            insp_begin + _PACK_SAFE_LEN)
