@@ -98,21 +98,27 @@ def bench_tpu(engine, pooled, pooled_len, inflight=4):
         done = [0]
 
         def pump():
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                h, cnt = item
-                engine.collect_stage1(h)
-                done[0] += cnt
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        return
+                    h, cnt = item
+                    engine.collect_stage1(h)
+                    done[0] += cnt
+            except Exception as exc:     # surface instead of hanging the
+                done.append(exc)         # dispatch loop below
 
         th = threading.Thread(target=pump)
         th.start()
         t0 = time.time()
         i = 0
         while time.time() - t0 < 3.0 or i < 2 * len(groups):
-            while q.qsize() >= inflight:
+            while q.qsize() >= inflight and th.is_alive():
                 time.sleep(0.001)
+            if not th.is_alive():
+                raise RuntimeError('stage-1 pump died: {}'.format(
+                    done[1] if len(done) > 1 else 'unknown'))
             # re-marshal each time: packing cost is part of steady state
             wire, cnt = engine.pack_stage1_flat(groups[i % len(groups)])
             q.put((engine.dispatch_stage1_flat(wire), cnt))
@@ -329,9 +335,11 @@ def bench_e2e_cpu(n_reads):
     # the CPU side runs ITS best-measured batch size (128; 256 measured
     # 23.9 vs 35.4 reads/s on the 2-vCPU host) so vs_cpu compares each
     # platform at its own best configuration
+    # 3 reps so the CPU side ALSO drops its first (cold) rep from the
+    # median, matching the TPU side's rule
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), '--e2e-cpu-child',
-         '--e2e-reads', str(n_reads), '--e2e-reps', '2',
+         '--e2e-reads', str(n_reads), '--e2e-reps', '3',
          '--e2e-batch', '128'],
         env=env, capture_output=True, timeout=3000)
     if out.returncode != 0:

@@ -251,6 +251,8 @@ class NativeFast5:
         string 'fallback' when present but not nativily readable (guppy
         Move tables, oversized tables)."""
         lib = self.lib
+        if lib.f5i_exists(self.fid, analyses_node.encode()) != 1:
+            return None             # no Analyses group: not basecalled
         group = None
         for i in range(15, -1, -1):
             cand = '{}/Basecall_1D_{:03d}'.format(analyses_node, i)
@@ -258,8 +260,11 @@ class NativeFast5:
                 group = cand
                 groupno = '{:03d}'.format(i)
                 break
-        if group is None:
-            return None
+        if group is None or groupno == '015':
+            # nothing in 000..015, or 015 present (an even newer group
+            # may exist beyond the probe range): the h5py reader picks
+            # max() over ALL groups — let it decide
+            return 'fallback'
 
         events_path = group + '/BaseCalled_template/Events'
         if lib.f5i_exists(self.fid, events_path.encode()) != 1:
@@ -271,9 +276,12 @@ class NativeFast5:
                                 rows.ctypes.data_as(ctypes.c_void_p),
                                 max_events, ctypes.byref(nmem),
                                 ctypes.byref(ssize))
-        if n == -4:
-            return 'fallback'       # enormous table; let h5py stream it
         if n < 0:
+            return 'fallback'   # guppy/enormous/odd tables: h5py decides
+        if nmem.value != 14:
+            # only albacore's 14-column layout is natively parsed; the
+            # h5py reader rejects other widths as unsupported — keep the
+            # two paths' accept/reject behavior identical
             return 'fallback'
 
         fastq = _fastq_scratch(fastq_cap)

@@ -80,7 +80,8 @@ class BatchAnalyzer:
                           n_devices=self.kernel_devices,
                           use_pallas=self.engine.use_pallas,
                           batch_rows=self.engine.batch_rows,
-                          platform=self.engine.platform)
+                          platform=self.engine.platform,
+                          aot_extra_key=self.engine.aot.extra_key)
             if config['measure_polya'] else None)
         self.unsplit_detector = (
             UnsplitReadDetector(config, self.engine.unsplitmodel,
@@ -88,7 +89,8 @@ class BatchAnalyzer:
                                 n_devices=self.kernel_devices,
                                 batch_rows=self.engine.batch_rows,
                                 use_pallas=self.engine.use_pallas,
-                                platform=self.engine.platform)
+                                platform=self.engine.platform,
+                                aot_extra_key=self.engine.aot.extra_key)
             if config['filter_unsplit_reads'] else None)
 
         if config['albacore_onthefly']:
@@ -329,14 +331,16 @@ class BatchAnalyzer:
         # the poly(A) round, so its device work and downloads ride under
         # the poly(A) wavefront instead of blocking the compute thread
         unsplit_state = None
+        unsplit_flat = None
         if unsplit_jobs:
-            flat = [(rec, lo, hi) for rec, _, windows in unsplit_jobs
-                    for lo, hi in windows]
+            unsplit_flat = [(rec, lo, hi) for rec, _, windows in unsplit_jobs
+                            for lo, hi in windows]
             try:
                 with trace('C:unsplit_dispatch'):
-                    unsplit_state = self.unsplit_detector.start_decode(flat)
+                    unsplit_state = self.unsplit_detector.start_decode(
+                        unsplit_flat)
             except Exception:
-                traceback.print_exc()
+                traceback.print_exc()   # retried synchronously below
 
         if polya_state is not None:
             try:
@@ -350,9 +354,25 @@ class BatchAnalyzer:
                 polya_state = None
                 traceback.print_exc()
 
-        if unsplit_state is not None:
+        if unsplit_flat is not None:
+            runs = None
             with trace('C:unsplit_viterbi'):
-                runs = self.unsplit_detector.finish_decode(unsplit_state)
+                try:
+                    runs = (self.unsplit_detector.finish_decode(unsplit_state)
+                            if unsplit_state is not None else
+                            self.unsplit_detector.decode_runs_batched(
+                                unsplit_flat))
+                except Exception as exc:
+                    # the filter was explicitly requested: a persistent
+                    # decode failure must surface per read, not silently
+                    # pass unfiltered artifacts downstream
+                    for rec, _ps, _w in unsplit_jobs:
+                        if rec in failed or rec.error_message:
+                            continue
+                        err = self._pack_unhandled_exception(
+                            rec.filename, rec.read_id, exc)
+                        rec.set_error(err['status'], err['error_message'])
+        if unsplit_flat is not None and runs is not None:
             cursor = 0
             with trace('C:unsplit_analyze'):
                 for rec, payload_start, windows in unsplit_jobs:

@@ -140,7 +140,11 @@ class DeviceEngine:
         # AOT executable reuse (TPU): warmup installs a deserialized
         # executable so fresh processes LOAD the fused stage-1 program
         # instead of recompiling it (utils/aot.py)
+        from ..utils.aot import model_asset_key
         self.aot = AotCache.for_platform(platform)
+        # executables bake the model weights: key on the asset identity
+        # (a retrained checkpoint must never serve a stale executable)
+        self.aot.extra_key = model_asset_key(self.config)
         self._stage1_flat_exe = None
         self._stage1_aot_checked = False
 

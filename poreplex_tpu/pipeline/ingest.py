@@ -55,7 +55,10 @@ def load_batch_worker(reads):
 
     cfg = _WCFG
     timers = {'A:open': 0.0, 'A:raw': 0.0, 'A:pool': 0.0, 'A:bcall': 0.0}
-    pool = fast5.Fast5FilePool()
+    # hold h5py handles open for the whole batch: _load_one closes its
+    # reader per read, which would otherwise drop the pool refcount to
+    # zero and reopen the multi-read file for every read
+    pool = _HoldingPool()
     npool = {}
     native = None
     if cfg['event_columns'] is not None:    # full-table dumps stay on h5py
@@ -78,7 +81,34 @@ def load_batch_worker(reads):
     for nf in npool.values():
         if nf is not None:
             nf.close()
+    pool.close_all()
     return payloads, timers
+
+
+class _HoldingPool:
+    """Fast5FilePool variant whose release() is deferred: handles stay
+    open until close_all() at the end of the batch."""
+
+    def __init__(self):
+        self._files = {}
+
+    def open(self, path):
+        f = self._files.get(path)
+        if f is None:
+            import h5py
+            f = self._files[path] = h5py.File(path, 'r')
+        return f
+
+    def release(self, path):
+        pass
+
+    def close_all(self):
+        for f in self._files.values():
+            try:
+                f.close()
+            except Exception:
+                pass
+        self._files.clear()
 
 
 def _load_one_native(cfg, mod, npool, f5file, read_id, timers):

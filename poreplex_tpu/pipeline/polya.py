@@ -115,7 +115,7 @@ class PolyaAnalyzer:
     ]
 
     def __init__(self, config, sharding=None, n_devices=1, use_pallas=False,
-                 batch_rows=128, platform=None):
+                 batch_rows=128, platform=None, aot_extra_key=''):
         for name in self.CONFIG_SLOTS:
             setattr(self, name, config[name])
         # batch-sharded kernel placement on a multi-chip mesh (pass-through
@@ -133,6 +133,7 @@ class PolyaAnalyzer:
         self._aot = AotCache.for_platform(
             platform if platform is not None else
             ('tpu' if use_pallas else 'cpu'))
+        self._aot.extra_key = aot_extra_key
         self._aot_exes = {}
 
         mean_loc, mean_scale = config['polya_mean_dist']

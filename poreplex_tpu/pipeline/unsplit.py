@@ -39,7 +39,8 @@ class UnsplitReadDetector:
     MAX_RUNS = 16
 
     def __init__(self, config, unsplit_model, sharding=None, n_devices=1,
-                 batch_rows=128, use_pallas=False, platform=None):
+                 batch_rows=128, use_pallas=False, platform=None,
+                 aot_extra_key=''):
         self.config = config['unsplit_read_detection']
         self.model = unsplit_model
         # batch-sharded Viterbi placement on a multi-chip mesh
@@ -66,6 +67,8 @@ class UnsplitReadDetector:
         self._aot = AotCache.for_platform(
             platform if platform is not None else
             ('tpu' if use_pallas else 'cpu'))
+        # the decode bakes the unsplit HMM parameters as constants
+        self._aot.extra_key = aot_extra_key
         self._aot_exes = {}
 
     _UNSET = object()

@@ -154,6 +154,11 @@ def split_and_redisperse(signals, targets, rng, test_split=TESTSET_SPLIT,
     canonical = tr_x * tr_y[:, 0:1] + tr_y[:, 1:2]
     redist = np.stack([rng.normal(mean[0], std[0], len(tr_y)),
                        rng.normal(mean[1], std[1], len(tr_y))], axis=1)
+    # the boosted stdev can draw scales at/below zero when the empirical
+    # mean/std ratio is small; dividing by those would poison the
+    # training signals — clamp away from zero (scales are physical
+    # gains, strictly positive)
+    redist[:, 0] = np.maximum(redist[:, 0], max(1e-3, 0.05 * mean[0]))
     tr_x2 = (canonical - redist[:, 1:2]) / redist[:, 0:1]
 
     transform = {'scale_mean': float(mean[0]), 'scale_std': float(std[0]),

@@ -30,16 +30,19 @@ _SOURCE_FINGERPRINT = None
 
 
 def _source_fingerprint():
-    """Hash of (relpath, mtime, size) for every module in the package —
+    """Hash of (relpath, mtime, size) for every module AND bundled asset
+    in the package (presets, weight bundles — executables bake model
+    weights as closure constants, so a swapped .npz must invalidate) —
     cheap (one stat per file) and safely over-invalidating."""
     global _SOURCE_FINGERPRINT
     if _SOURCE_FINGERPRINT is None:
         pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         h = hashlib.sha1()
         for dirpath, dirs, files in sorted(os.walk(pkg_root)):
-            dirs.sort()
+            dirs[:] = sorted(d for d in dirs
+                             if d not in ('__pycache__', 'native_lib'))
             for fn in sorted(files):
-                if not fn.endswith('.py'):
+                if fn.endswith(('.pyc', '.pyo', '.so')):
                     continue
                 path = os.path.join(dirpath, fn)
                 st = os.stat(path)
@@ -48,6 +51,26 @@ def _source_fingerprint():
                     st.st_size).encode())
         _SOURCE_FINGERPRINT = h.hexdigest()
     return _SOURCE_FINGERPRINT
+
+
+def model_asset_key(config):
+    """Cache-key material for the model assets a session's programs bake
+    in as closure constants: weight-bundle files (stat identity — they
+    may live OUTSIDE the package, e.g. retrained checkpoints from the
+    training workflows) and the preset-defined HMM specifications."""
+    import json
+    h = hashlib.sha1()
+    paths = [config.get('signal_processing', {}).get('scaler_model'),
+             config.get('demultiplexing', {}).get('demux_model')]
+    for path in paths:
+        if path and os.path.exists(path):
+            st = os.stat(path)
+            h.update('{}\x00{}\x00{}\x01'.format(
+                path, st.st_mtime_ns, st.st_size).encode())
+    for spec_name in ('segmentation_model', 'unsplit_read_detection_model'):
+        h.update(json.dumps(config.get(spec_name), sort_keys=True,
+                            default=str).encode())
+    return h.hexdigest()
 
 
 def default_cache_dir():
@@ -105,13 +128,17 @@ class AotCache:
         force = os.environ.get('POREPLEX_TPU_AOT_CACHE')
         return cls(enabled=platform == 'tpu' or bool(force))
 
+    # extra key material appended by the owner (model_asset_key of the
+    # session config — covers retrained weight files outside the package)
+    extra_key = ''
+
     def _key_path(self, name, signature):
         import jax
         dev = jax.devices()[0]
         key = hashlib.sha1('\x00'.join([
             jax.__version__, dev.platform,
             getattr(dev, 'device_kind', ''), _source_fingerprint(),
-            name, signature]).encode()).hexdigest()
+            self.extra_key, name, signature]).encode()).hexdigest()
         return os.path.join(self.dir, '{}-{}.aotx'.format(name, key))
 
     @staticmethod

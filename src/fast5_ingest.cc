@@ -67,6 +67,7 @@ H5FN(size_t, H5Tget_size, (hid_t))
 H5FN(htri_t, H5Tis_variable_str, (hid_t))
 H5FN(int, H5Tget_class, (hid_t))
 H5FN(int, H5Tget_member_index, (hid_t, const char*))
+H5FN(int, H5Tget_nmembers, (hid_t))
 H5FN(hid_t, H5Tget_member_type, (hid_t, unsigned))
 H5FN(htri_t, H5Lexists, (hid_t, const char*, hid_t))
 H5FN(int64_t, H5Lget_name_by_idx,
@@ -102,8 +103,8 @@ int f5i_init(const char* libpath) {
     R(H5Sclose) R(H5Sget_simple_extent_npoints) R(H5Tcopy) R(H5Tcreate)
     R(H5Tinsert) R(H5Tclose) R(H5Tset_size) R(H5Tget_size)
     R(H5Tis_variable_str) R(H5Tget_class) R(H5Tget_member_index)
-    R(H5Tget_member_type) R(H5Lexists) R(H5Lget_name_by_idx)
-    R(H5free_memory)
+    R(H5Tget_nmembers) R(H5Tget_member_type) R(H5Lexists)
+    R(H5Lget_name_by_idx) R(H5free_memory)
 #undef R
     if (!ok) { dlclose(lib); return -2; }
     hid_t* g;
@@ -275,12 +276,24 @@ int f5i_attr_exists(int64_t fid, const char* objpath, const char* name) {
     return rc;
 }
 
-// returns sample count, or <0; fills up to cap samples when out != NULL
+// returns sample count, or <0; fills up to cap samples when out != NULL.
+// The stored type must be a <=16-bit integer — HDF5 would otherwise
+// CONVERT (clamp) wider/float signals into the i16 buffer silently; such
+// containers return -6 so the caller falls back to the h5py reader,
+// which routes exotic dtypes through the f32 pA path.
 long long f5i_read_signal_i16(int64_t fid, const char* signal_path,
                               int16_t* out, long long cap) {
     if (!h5lib) return -1;
     hid_t d = p_H5Dopen2((hid_t)fid, signal_path, P_DEFAULT);
     if (d < 0) return -2;
+    hid_t ft = p_H5Dget_type(d);
+    int tclass = ft >= 0 ? p_H5Tget_class(ft) : -1;
+    size_t tsize = ft >= 0 ? p_H5Tget_size(ft) : 0;
+    if (ft >= 0) p_H5Tclose(ft);
+    if (tclass != 0 /*H5T_INTEGER*/ || tsize > 2) {
+        p_H5Dclose(d);
+        return -6;
+    }
     hid_t sp = p_H5Dget_space(d);
     int64_t n = sp >= 0 ? p_H5Sget_simple_extent_npoints(sp) : -1;
     if (sp >= 0) p_H5Sclose(sp);
@@ -369,11 +382,8 @@ long long f5i_read_events(int64_t fid, const char* events_path,
         int iv = p_H5Tget_member_index(ft, "move");
         int ip = p_H5Tget_member_index(ft, "p_model_state");
         int ist = p_H5Tget_member_index(ft, "model_state");
-        if (n_members_out) {
-            // the stored row size tells albacore's wide 14-column table
-            // apart from minimal tables
-            *n_members_out = (long long)p_H5Tget_size(ft);
-        }
+        int nmem = p_H5Tget_nmembers(ft);
+        if (n_members_out) *n_members_out = (long long)nmem;
         if (im >= 0 && is >= 0 && iv >= 0 && ip >= 0 && ist >= 0) {
             if (n > cap_rows) { rc = -4; }
             else {
