@@ -348,7 +348,7 @@ def bench_e2e_cpu(n_reads):
     return json.loads(out.stdout.decode().strip().splitlines()[-1])
 
 
-def bench_scaling_cpu(n_files=16):
+def bench_scaling_cpu(n_files=32):
     """Multi-host scaling-efficiency proxy (BASELINE.md target: >= 80%
     at 2 hosts; real multi-host cannot run here): the SAME full session
     run by 1 process vs 2 jax.distributed processes on the CPU backend
