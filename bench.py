@@ -426,7 +426,7 @@ def main():
     parser.add_argument('--e2e-reads', type=int, default=E2E_READS)
     parser.add_argument('--e2e-reps', type=int, default=E2E_REPS)
     parser.add_argument('--e2e-batch', type=int, default=None)
-    parser.add_argument('--e2e-cpu-reads', type=int, default=E2E_READS // 8)
+    parser.add_argument('--e2e-cpu-reads', type=int, default=E2E_READS // 4)
     parser.add_argument('--skip-scaling', action='store_true')
     parser.add_argument('--e2e-cpu-child', action='store_true',
                         help=argparse.SUPPRESS)
@@ -439,6 +439,16 @@ def main():
         print(json.dumps(bench_e2e(args.e2e_reads, reps=args.e2e_reps,
                                    batch=args.e2e_batch)))
         return
+
+    # the scaling proxy runs FIRST: it spawns pinned-CPU subprocesses and
+    # is sensitive to the parent's residual load (jax/TPU client + TF
+    # thread pools measured it ~0.2 lower when run last)
+    scaling = None
+    if not args.skip_scaling:
+        try:
+            scaling = bench_scaling_cpu()
+        except Exception as exc:
+            print('scaling bench failed: {}'.format(exc), file=sys.stderr)
 
     from poreplex_tpu.config import build_config
     from poreplex_tpu.pipeline.engine import DeviceEngine
@@ -463,13 +473,6 @@ def main():
             e2e = bench_e2e(args.e2e_reads, reps=args.e2e_reps)
         except Exception as exc:
             print('e2e bench failed: {}'.format(exc), file=sys.stderr)
-
-    scaling = None
-    if not args.skip_scaling:
-        try:
-            scaling = bench_scaling_cpu()
-        except Exception as exc:
-            print('scaling bench failed: {}'.format(exc), file=sys.stderr)
 
     if e2e is not None and not args.skip_e2e_cpu:
         try:
