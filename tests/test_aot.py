@@ -40,3 +40,37 @@ def test_aot_cache_disabled_returns_none(tmp_path):
     cache = AotCache(cache_dir=str(tmp_path), enabled=False)
     fn = jax.jit(lambda x: x + 1)
     assert cache.load_or_compile(fn, 'toy', jnp.ones(4)) is None
+
+
+def test_model_asset_key_tracks_weight_files(tmp_path):
+    """Executables bake model weights as closure constants: swapping a
+    weight bundle (e.g. a retrained checkpoint) MUST change the cache
+    key, or warm sessions would silently run with stale weights."""
+    import os
+    import shutil
+    import time
+    from poreplex_tpu.config import build_config
+    from poreplex_tpu.utils.aot import model_asset_key
+
+    config = build_config(str(tmp_path), str(tmp_path))
+    key1 = model_asset_key(config)
+
+    # point the scaler at a COPY of the bundled weights: same content,
+    # different file identity
+    src = config['signal_processing']['scaler_model']
+    alt = str(tmp_path / 'scaler-retrained.npz')
+    shutil.copy(src, alt)
+    config['signal_processing']['scaler_model'] = alt
+    key2 = model_asset_key(config)
+    assert key2 != key1
+
+    # an in-place retrain (same path, new mtime) must also invalidate
+    time.sleep(0.01)
+    os.utime(alt)
+    assert model_asset_key(config) != key2
+
+    # and an edited HMM spec too
+    config['segmentation_model'][0]['emission'][0][0] += 0.5
+    key3 = model_asset_key(config)
+    config['segmentation_model'][0]['emission'][0][0] -= 0.5
+    assert key3 != key2

@@ -332,3 +332,29 @@ def test_process_ingest_matches_thread_ingest(fixture_dir, tmp_path):
     rows_p = summary_rows(out_p)
     assert len(rows_t) == len(entries)
     assert rows_t == rows_p
+
+
+def test_broken_ingest_pool_falls_back_in_process(fixture_dir, tmp_path):
+    """A dead ingest worker pool must not take down the session: the
+    analyzer disables it and ingests in-process with identical results."""
+    from poreplex_tpu.config import build_config
+    from poreplex_tpu.pipeline.analyzer import BatchAnalyzer
+
+    inputdir, entries = fixture_dir
+    config = build_config(inputdir, str(tmp_path / 'out'), barcoding=True,
+                          trim_adapter=True, device_batch_size=16,
+                          ingest_processes=2)
+    analyzer = BatchAnalyzer(config)
+    assert analyzer.ingest_pool is not None
+    # simulate a broken pool: every load raises
+    class Dead:
+        def load(self, reads):
+            raise RuntimeError('worker pool died')
+        def shutdown(self):
+            pass
+    analyzer.ingest_pool = Dead()
+
+    results, aux = analyzer.process_batch(0, entries[:6])
+    assert analyzer.ingest_pool is None          # disabled after failure
+    assert len(results) == 6
+    assert all(r['status'] == 'okay' for r in results)
