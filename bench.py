@@ -250,7 +250,7 @@ def bench_e2e(n_reads, reps=E2E_REPS, batch=None):
     from poreplex_tpu.pipeline.analyzer import get_analyzer
     from poreplex_tpu.pipeline.session import ProcessingSession
     from poreplex_tpu.fast5 import get_read_ids
-    from poreplex_tpu.utils.profiling import GLOBAL_TIMER
+    from poreplex_tpu.utils.profiling import GLOBAL_TIMER, WIRE
 
     indir = None
     outdir = tempfile.mkdtemp(prefix='bench-e2e-out-')
@@ -292,12 +292,14 @@ def bench_e2e(n_reads, reps=E2E_REPS, batch=None):
                 with GLOBAL_TIMER.lock:
                     GLOBAL_TIMER.totals.clear()
                     GLOBAL_TIMER.counts.clear()
+                WIRE.clear()
                 t0 = time.time()
                 printer = ProcessingSession.run(config, logger)
                 elapsed = time.time() - t0
                 if printer is None:
                     raise RuntimeError('e2e session did not finish cleanly')
                 samples.append(round(n_written / elapsed, 2))
+                last_elapsed = elapsed
             finally:
                 shutil.rmtree(rep_out, ignore_errors=True)
 
@@ -307,6 +309,14 @@ def bench_e2e(n_reads, reps=E2E_REPS, batch=None):
         snap = GLOBAL_TIMER.snapshot()
         spread = _spread(samples[1:] if len(samples) > 2 else samples)
         spread['reps'] = samples
+        # device-utilization + wire accounting from the LAST rep: awaited
+        # dispatch->ready interval unions (the chip only progresses while
+        # awaited over the tunnel) and bytes moved, per program family —
+        # proves where the non-host share of the wall goes (VERDICT r4 #3)
+        device = WIRE.snapshot()
+        device['wall_s'] = round(last_elapsed, 2)
+        device['device_busy_frac'] = round(
+            device['device_busy_s'] / last_elapsed, 3)
         return {
             'reads_per_s': spread['median'],
             'spread': spread,
@@ -317,6 +327,7 @@ def bench_e2e(n_reads, reps=E2E_REPS, batch=None):
             'stage_wall_s': {name: row['total_s']
                              for name, row in snap.items()},
             'stage_calls': {name: row['calls'] for name, row in snap.items()},
+            'device': device,
         }
     finally:
         # indir is the shared fixture cache — only the outputs are scratch

@@ -287,9 +287,12 @@ class BatchAnalyzer:
             survivors.append(rec)
 
         # dispatch the first poly(A) round BEFORE the host-side event
-        # loading so the device round is in flight under the events/trim
-        # loop (event dumps read rec.polya, so they are deferred until the
-        # poly(A) wavefront completes)
+        # loading; from here the wavefront drives itself on the analyzer's
+        # daemon thread (downloads, replays, chains extension rounds —
+        # coalesced across concurrent batches), so this thread never
+        # blocks on a poly(A) round trip until finish_batch (event dumps
+        # read rec.polya, so they are deferred until the wavefront
+        # completes)
         polya_state = None
         if polya_items:
             try:
@@ -342,18 +345,6 @@ class BatchAnalyzer:
             except Exception:
                 traceback.print_exc()   # retried synchronously below
 
-        if polya_state is not None:
-            try:
-                with trace('C:polya'):
-                    # collect round 1 (in flight since before the events
-                    # loop) and leave round 2, if any, riding under the
-                    # unsplit phase
-                    polya_state = self.polya_analyzer.advance(
-                        polya_state, self.stride)
-            except Exception:
-                polya_state = None
-                traceback.print_exc()
-
         if unsplit_flat is not None:
             runs = None
             with trace('C:unsplit_viterbi'):
@@ -390,8 +381,9 @@ class BatchAnalyzer:
                             rec.filename, rec.read_id, exc)
                         rec.set_error(err['status'], err['error_message'])
 
-        # drain the remaining poly(A) rounds, then write the deferred
-        # event dumps (their attrs read rec.polya)
+        # park until the self-driving wavefront settles this batch's
+        # tasks (GIL-free; the other compute thread keeps dispatching),
+        # then write the deferred event dumps (their attrs read rec.polya)
         if polya_state is not None:
             try:
                 with trace('C:polya'):

@@ -376,7 +376,8 @@ class DeviceEngine:
         return self._stage1_packed(jnp.asarray(arr), jnp.asarray(qparams))
 
     def collect_stage1(self, handle):
-        return self._unpack_stage1(np.asarray(handle))
+        from ..utils.profiling import WIRE
+        return self._unpack_stage1(WIRE.await_array('stage1', handle))
 
     def run_stage1(self, pooled, pooled_len, head_len=None, head_valid=None):
         """numpy in -> numpy out wrapper; single transfer each way."""
@@ -446,7 +447,9 @@ class DeviceEngine:
         return (flat, aux), n
 
     def dispatch_stage1_flat(self, wire):
+        from ..utils.profiling import WIRE
         flat, aux = wire
+        WIRE.upload('stage1', flat.nbytes + aux.nbytes)
         flat_d, aux_d = jnp.asarray(flat), jnp.asarray(aux)
         if self._stage1_flat_exe is None and not self._stage1_aot_checked:
             # un-prewarmed session: pick up an executable a previous

@@ -13,6 +13,17 @@ shifted-signal anchor recalibration all run fused on device
 (extend / recalibrate / accept / reject) on the returned scalars and
 advances each read's state machine; event tables never cross the wire.
 
+The wavefront is SELF-DRIVING: round 1 is dispatched on the calling
+(compute) thread, after which a per-analyzer daemon thread downloads each
+in-flight round, replays its decisions, and redispatches the extension
+stragglers — coalescing active tasks ACROSS batches into shared round
+dispatches, so a late chain from batch N rides batch N+1's round trip
+instead of paying its own. The compute thread never blocks mid-batch; it
+parks (GIL-free) in finish_batch only when the wavefront outlives the
+batch's other host work, which keeps both compute threads feeding the
+device while rounds are in flight (the r4 profile showed 6.7 thread-s of
+a 5.6 s wall parked in synchronous round collection).
+
 Bounded open-end extension (poreplex/polya.py:77-83: re-run with the
 window grown by ``openend_expansion``, up to 50 times) is SPECULATED:
 each task submits rows for extension depths d..d+K-1 in the same round —
@@ -93,7 +104,8 @@ _UNSET = object()       # lazy AOT lookup sentinel (None = checked, absent)
 class _Task:
     __slots__ = ('read', 'rough_begin', 'rough_end', 'orig_end_none',
                  'polya_range', 'depth', 'signal', 'qaffine', 'insp_begin',
-                 'full_length', 'adapter_end', 'spec', 'results')
+                 'full_length', 'adapter_end', 'spec', 'results',
+                 'ticket', 'rounds')
 
     def __init__(self, read, rough_begin, rough_end, polya_range, depth):
         self.read = read
@@ -102,6 +114,160 @@ class _Task:
         self.orig_end_none = rough_end is None
         self.polya_range = polya_range
         self.depth = depth
+        self.ticket = None
+        self.rounds = 1
+
+
+class _Ticket:
+    """Completion handle for one batch's wavefront: counts live tasks and
+    releases waiters when the last one settles. ``error`` carries the
+    first driver-side failure so finish_batch can surface it on the
+    batch's own thread."""
+
+    __slots__ = ('_remaining', '_lock', '_event', 'error')
+
+    def __init__(self, n):
+        import threading
+        self._remaining = n
+        self._lock = threading.Lock()
+        self._event = threading.Event()
+        self.error = None
+        if n <= 0:
+            self._event.set()
+
+    def adjust(self, delta, error=None):
+        with self._lock:
+            if error is not None and self.error is None:
+                self.error = error
+            self._remaining += delta
+            if self._remaining <= 0:
+                self._event.set()
+
+    def done(self):
+        return self._event.is_set()
+
+    def wait(self, timeout=None):
+        return self._event.wait(timeout)
+
+
+class _WavefrontDriver:
+    """Self-driving round engine shared by every batch of one analyzer.
+
+    One daemon thread alternates between (a) downloading + replaying the
+    oldest in-flight round and (b) dispatching every currently-pending
+    extension task as ONE coalesced round — tasks from different batches
+    share the same device launches and round trips. Round 1 of a new
+    batch is dispatched by the submitting compute thread (zero added
+    latency) and only its collection lands here, so a compute thread
+    never parks on a device round trip mid-batch.
+
+    A failure while processing one round settles the tickets of exactly
+    the tasks involved (with the error attached) and the driver keeps
+    serving other batches; the analyzer degrades those reads to
+    no-poly(A) like the previous synchronous orchestration did."""
+
+    IDLE_TIMEOUT = 30.0     # thread exits when idle; resurrected on submit
+
+    def __init__(self, analyzer):
+        import collections
+        import threading
+        self.analyzer = analyzer
+        self.lock = threading.Lock()
+        self.wake = threading.Condition(self.lock)
+        self.inflight = collections.deque()   # (tasks, launches, stride)
+        self.pending = []                     # extension tasks to coalesce
+        self.pending_stride = None
+        self.thread = None
+
+    def submit_inflight(self, tasks, launches, stride):
+        """Hand a just-dispatched round to the driver for download +
+        replay + (possible) redispatch of its extension chains."""
+        with self.lock:
+            self.inflight.append((tasks, launches, stride))
+            self._ensure_thread()
+            self.wake.notify()
+
+    def _ensure_thread(self):
+        import threading
+        if self.thread is None or not self.thread.is_alive():
+            self.thread = threading.Thread(
+                target=self._loop, daemon=True, name='polya-wavefront')
+            self.thread.start()
+
+    # ------------------------------------------------------------------
+    def _loop(self):
+        while True:
+            with self.lock:
+                while not self.inflight and not self.pending:
+                    if not self.wake.wait(self.IDLE_TIMEOUT):
+                        self.thread = None
+                        return
+                if self.inflight:
+                    # drain downloads before dispatching: extension tasks
+                    # keep accumulating in ``pending`` meanwhile, so
+                    # multiple batches' stragglers coalesce into one round
+                    item, batch = self.inflight.popleft(), None
+                else:
+                    item = None
+                    batch, self.pending = self.pending, []
+                    stride = self.pending_stride
+            if item is not None:
+                self._download_and_replay(*item)
+            else:
+                self._dispatch_pending(batch, stride)
+
+    @staticmethod
+    def _settle(tasks, error):
+        import traceback
+        traceback.print_exc()
+        for t in tasks:
+            if t.ticket is not None:
+                t.ticket.adjust(-1, error=error)
+
+    def _download_and_replay(self, tasks, launches, stride):
+        try:
+            from ..utils.profiling import WIRE
+            results = [None] * len(launches)
+            with trace('C:polya/download'):
+                for i, (chunk, rows, blen, size, out) in enumerate(launches):
+                    results[i] = WIRE.await_array('polya', out)
+            next_tasks = self.analyzer._collect_round(
+                tasks, launches, stride, results)
+            requeue = [nt for nt in next_tasks
+                       # safety net; depth caps normally stop chains first
+                       if nt.rounds <=
+                       self.analyzer.maximum_openend_extension]
+        except Exception as exc:
+            self._settle(tasks, exc)
+            return
+        # every input task either continued (its successor inherited the
+        # ticket in _replay_chain) or settled; the +1s land before the
+        # -1s so a ticket cannot transiently read complete
+        for nt in requeue:
+            if nt.ticket is not None:
+                nt.ticket.adjust(+1)
+        for t in tasks:
+            if t.ticket is not None:
+                t.ticket.adjust(-1)
+        if requeue:
+            with self.lock:
+                self.pending.extend(requeue)
+                self.pending_stride = stride
+                self.wake.notify()
+
+    def _dispatch_pending(self, tasks, stride):
+        try:
+            with trace('C:polya/window_build'):
+                for t in tasks:
+                    self.analyzer._build_window(t, stride)
+            with trace('C:polya/dispatch'):
+                launches = self.analyzer._dispatch_round(tasks)
+        except Exception as exc:
+            self._settle(tasks, exc)
+            return
+        with self.lock:
+            self.inflight.append((tasks, launches, stride))
+            self.wake.notify()
 
 
 class PolyaAnalyzer:
@@ -135,6 +301,9 @@ class PolyaAnalyzer:
             ('tpu' if use_pallas else 'cpu'))
         self._aot.extra_key = aot_extra_key
         self._aot_exes = {}
+        # lazily-created self-driving wavefront thread (shared by every
+        # batch of this analyzer; coalesces rounds across batches)
+        self._driver = None
 
         mean_loc, mean_scale = config['polya_mean_dist']
         self.polya_mean_cutoff = (
@@ -175,54 +344,57 @@ class PolyaAnalyzer:
         self.finish_batch(self.start_batch(items, stride), stride)
 
     def start_batch(self, items, stride):
-        """Dispatch the first round and start a pump thread that awaits +
-        downloads its results, so the round genuinely executes while the
-        caller does host work (over the tunnel, dispatched computations
-        only make progress while something is awaiting them). Returns the
-        opaque state for advance/finish_batch, or None when there is
-        nothing to do."""
+        """Dispatch the first round on THIS thread (so it is in flight
+        under the caller's subsequent host work with no added latency)
+        and hand it to the self-driving wavefront thread, which downloads
+        it, replays the decision lattice, and chains any extension rounds
+        without the caller's involvement. Returns a _Ticket for
+        advance/finish_batch, or None when there is nothing to do."""
         tasks = [_Task(read, rng[0], rng[1], None, 0)
                  for read, rng in items]
         if not tasks:
             return None
-        return self._dispatch_pumped(tasks, stride, 1)
-
-    def _dispatch_pumped(self, tasks, stride, rounds):
-        import threading
+        ticket = _Ticket(len(tasks))
+        for t in tasks:
+            t.ticket = ticket
         with trace('C:polya/window_build'):
             for t in tasks:
                 self._build_window(t, stride)
         with trace('C:polya/dispatch'):
             launches = self._dispatch_round(tasks)
-        results = [None] * len(launches)
-
-        def pump():
-            for i, (chunk, rows, blen, size, out) in enumerate(launches):
-                results[i] = np.asarray(out)
-
-        pump_thread = threading.Thread(target=pump, daemon=True)
-        pump_thread.start()
-        return (tasks, launches, results, pump_thread, rounds)
+        if self._driver is None:
+            self._driver = _WavefrontDriver(self)
+        self._driver.submit_inflight(tasks, launches, stride)
+        return ticket
 
     def advance(self, state, stride):
-        """Collect the in-flight round, replay its decisions, and dispatch
-        the next round (with its own pump) if any tasks extend past the
-        speculation. Returns the new state or None when the wavefront is
-        done — callers interleave host/device work between advances."""
-        if state is None:
+        """Non-blocking progress poll (the wavefront drives itself on its
+        own thread): returns None once the batch's wavefront completed,
+        else the state unchanged. Kept so callers can interleave cheap
+        completion checks between host phases."""
+        if state is None or state.done():
             return None
-        tasks, launches, results, pump_thread, rounds = state
-        with trace('C:polya/await'):
-            pump_thread.join()
-        tasks = self._collect_round(tasks, launches, stride, results)
-        if not tasks or rounds > self.maximum_openend_extension:
-            return None
-        return self._dispatch_pumped(tasks, stride, rounds + 1)
+        return state
 
     def finish_batch(self, state, stride):
-        """Run the remaining wavefront rounds to completion."""
-        while state is not None:
-            state = self.advance(state, stride)
+        """Park (GIL-free) until this batch's wavefront settles; raises
+        the first driver-side error, matching the synchronous
+        orchestration's per-batch failure surface."""
+        if state is None:
+            return
+        with trace('C:polya/await'):
+            while not state.wait(60.0):
+                drv = self._driver
+                if drv is None or drv.thread is None or \
+                        not drv.thread.is_alive():
+                    # backstop: a driver thread that died outside its own
+                    # error handling must not park the batch forever
+                    raise RuntimeError(
+                        'poly(A) wavefront driver died with work pending')
+        if state.error is not None:
+            raise RuntimeError(
+                'poly(A) wavefront failed: {}'.format(state.error)) \
+                from state.error
 
     # ------------------------------------------------------------------
     def _build_window(self, task, stride):
@@ -361,6 +533,8 @@ class PolyaAnalyzer:
                         qparams[gi, 0], qparams[gi, 1])
                 base += rows
 
+            from ..utils.profiling import WIRE
+            WIRE.upload('polya', stream.nbytes + all_meta.nbytes)
             stream_dev = self._put_stream(stream)
             sharded = self.sharding is not None and self.n_devices > 1
             if not sharded:
@@ -503,6 +677,8 @@ class PolyaAnalyzer:
                            t.rough_end + (r + 1) * meu,
                            t.polya_range, depth + 1)
                 nt.orig_end_none = False
+                nt.ticket = t.ticket
+                nt.rounds = t.rounds + 1
                 return nt
         return None
 

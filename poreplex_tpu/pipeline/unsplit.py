@@ -206,9 +206,11 @@ class UnsplitReadDetector:
         import threading
         launches = []
         cursor = 0
+        from ..utils.profiling import WIRE
         while cursor < len(jobs):
             chunk, stream, meta, emax = self._pack_chunk(jobs, cursor)
             cursor += len(chunk)
+            WIRE.upload('unsplit', stream.nbytes + meta.nbytes)
             stream_dev = self._put_stream(stream)
             meta_dev, = self._put_meta(meta)
             launches.append(
@@ -217,7 +219,7 @@ class UnsplitReadDetector:
 
         def pump():
             for i, (chunk, handle) in enumerate(launches):
-                results[i] = np.asarray(handle)
+                results[i] = WIRE.await_array('unsplit', handle)
 
         pump_thread = threading.Thread(target=pump, daemon=True)
         pump_thread.start()

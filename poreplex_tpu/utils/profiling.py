@@ -50,6 +50,77 @@ class StageTimer:
 GLOBAL_TIMER = StageTimer()
 
 
+class WireAccounting:
+    """Device-utilization + wire accounting (SURVEY.md §5.1 extension):
+    per program family, the bytes uploaded/downloaded and the
+    await-start -> ready intervals of every launch. Over the tunnel a
+    dispatched computation only progresses while something awaits it, so
+    the awaited interval IS the device-busy window; the union of all
+    intervals over the session wall bounds how busy the chip was and
+    where the remaining wall time goes (host vs device vs idle)."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.up_bytes = defaultdict(int)
+        self.down_bytes = defaultdict(int)
+        self.intervals = defaultdict(list)
+
+    def upload(self, family, nbytes):
+        with self.lock:
+            self.up_bytes[family] += int(nbytes)
+
+    def await_array(self, family, handle):
+        """Await + download one device result, recording the busy
+        interval and the downloaded bytes. Returns the numpy array."""
+        import numpy as np
+        t0 = time.perf_counter()
+        arr = np.asarray(handle)
+        t1 = time.perf_counter()
+        with self.lock:
+            self.down_bytes[family] += arr.nbytes
+            self.intervals[family].append((t0, t1))
+        return arr
+
+    def clear(self):
+        with self.lock:
+            self.up_bytes.clear()
+            self.down_bytes.clear()
+            self.intervals.clear()
+
+    @staticmethod
+    def _union_s(intervals):
+        total = 0.0
+        end = float('-inf')
+        for a, b in sorted(intervals):
+            if a > end:
+                total += b - a
+                end = b
+            elif b > end:
+                total += b - end
+                end = b
+        return total
+
+    def snapshot(self):
+        """Per-family {upload_mb, download_mb, busy_s, launches} plus the
+        cross-family interval union as 'device_busy_s' (families overlap
+        when multiple programs are in flight, so the union, not the sum,
+        bounds chip occupancy)."""
+        with self.lock:
+            fams = sorted(set(self.up_bytes) | set(self.intervals))
+            out = {fam: {
+                'upload_mb': round(self.up_bytes[fam] / 1e6, 2),
+                'download_mb': round(self.down_bytes[fam] / 1e6, 2),
+                'busy_s': round(self._union_s(self.intervals[fam]), 3),
+                'launches': len(self.intervals[fam]),
+            } for fam in fams}
+            allv = [iv for fam in fams for iv in self.intervals[fam]]
+            out['device_busy_s'] = round(self._union_s(allv), 3)
+        return out
+
+
+WIRE = WireAccounting()
+
+
 @contextlib.contextmanager
 def trace(name):
     """jax.profiler trace context when POREPLEX_TPU_PROFILE_DIR is set."""

@@ -268,3 +268,96 @@ def test_polya_dac_read_matches_f32_oracle():
     assert oracle.result is not None
     assert abs(read.polya['begin'] - oracle.result['begin']) <= 8
     assert abs(read.polya['end'] - oracle.result['end']) <= 8
+
+
+# ---------------------------------------------------------------------------
+# Self-driving wavefront driver (pipeline/polya._WavefrontDriver): round
+# collection must never block the submitting thread mid-batch, concurrent
+# batches must coalesce their extension rounds on one driver thread, and a
+# driver-side failure must surface per batch without killing the driver.
+
+def test_concurrent_batches_share_one_driver(polya_config):
+    """Two batches submitted back-to-back (the second while the first's
+    wavefront is still in flight) must both match their oracles, with all
+    extension rounds driven by the analyzer's single wavefront thread."""
+    rng = np.random.RandomState(40)
+    analyzer = PolyaAnalyzer(polya_config)
+
+    def make_batch(n, chain):
+        items, oracles = [], []
+        for k in range(n):
+            polya_len = 6000 + 900 * k if chain else 1200 + 400 * k
+            sig = build_signal(rng, polya_len=polya_len, spikes=k % 2)
+            rough = (4000 // STRIDE, (4000 + (1400 if chain else polya_len))
+                     // STRIDE)
+            read = FakeRead(sig)
+            items.append((read, rough))
+            oracle = PolyaOracle(polya_config)
+            oracle(sig, RATE, rough, STRIDE)
+            oracles.append(oracle)
+        return items, oracles
+
+    # batch 1 carries underestimated rough ends -> multi-round chains
+    items1, oracles1 = make_batch(3, chain=True)
+    items2, oracles2 = make_batch(3, chain=False)
+    s1 = analyzer.start_batch(items1, STRIDE)
+    s2 = analyzer.start_batch(items2, STRIDE)
+    assert analyzer._driver is not None
+    analyzer.finish_batch(s1, STRIDE)
+    analyzer.finish_batch(s2, STRIDE)
+    for (read, _), oracle in zip(items1 + items2, oracles1 + oracles2):
+        if oracle.result is None:
+            assert read.polya is None
+        else:
+            assert read.polya is not None
+            assert read.polya['begin'] == oracle.result['begin']
+            assert read.polya['end'] == oracle.result['end']
+
+
+def test_driver_error_surfaces_and_driver_survives(polya_config,
+                                                   monkeypatch):
+    """A failure while replaying one batch's round must raise from THAT
+    batch's finish_batch (with the cause attached) and leave the driver
+    alive for subsequent batches."""
+    rng = np.random.RandomState(41)
+    analyzer = PolyaAnalyzer(polya_config)
+
+    sig = build_signal(rng, polya_len=2000)
+    rough = rough_range_for(4000, 2000)
+
+    orig = analyzer._collect_round
+
+    def boom(*a, **k):
+        raise ValueError('injected replay failure')
+
+    monkeypatch.setattr(analyzer, '_collect_round', boom)
+    state = analyzer.start_batch([(FakeRead(sig), rough)], STRIDE)
+    with pytest.raises(RuntimeError, match='wavefront failed'):
+        analyzer.finish_batch(state, STRIDE)
+    assert isinstance(state.error, ValueError)
+
+    # driver must keep serving the next batch once the fault clears
+    monkeypatch.setattr(analyzer, '_collect_round', orig)
+    read2 = FakeRead(build_signal(rng, polya_len=2500))
+    analyzer.process_batch([(read2, rough_range_for(4000, 2500))], STRIDE)
+    oracle = PolyaOracle(polya_config)
+    oracle(read2.scaled_raw, RATE, rough_range_for(4000, 2500), STRIDE)
+    assert (read2.polya is None) == (oracle.result is None)
+
+
+def test_wire_accounting_records_polya_rounds(polya_config):
+    """WIRE (utils.profiling) must carry upload/download bytes and busy
+    intervals for the poly(A) launches of a batch."""
+    from poreplex_tpu.utils.profiling import WIRE
+    rng = np.random.RandomState(42)
+    analyzer = PolyaAnalyzer(polya_config)
+    sig = build_signal(rng, polya_len=2600)
+    rough = rough_range_for(4000, 2600)
+    WIRE.clear()
+    analyzer.process_batch([(FakeRead(sig), rough)], STRIDE)
+    snap = WIRE.snapshot()
+    assert snap['polya']['launches'] >= 1
+    assert snap['polya']['upload_mb'] > 0
+    assert snap['polya']['download_mb'] > 0
+    assert snap['polya']['busy_s'] > 0
+    assert snap['device_busy_s'] >= snap['polya']['busy_s']
