@@ -224,8 +224,11 @@ def cached_e2e_fixtures(n_reads, seed=11):
     """Reuse the synthetic fixture set across bench invocations: writing
     2048 multi-read FAST5s costs 30-45s of host CPU per run and the set is
     deterministic in (n_reads, seed)."""
+    # v2: simulate ids became rng-derived (deterministic), changing the
+    # fixture content for a given (n_reads, seed)
     indir = os.path.join(tempfile.gettempdir(),
-                         'pptpu-bench-fixtures-{}-{}'.format(n_reads, seed))
+                         'pptpu-bench-fixtures-v2-{}-{}'.format(
+                             n_reads, seed))
     marker = os.path.join(indir, '.complete')
     if os.path.exists(marker):
         return indir, 0.0
@@ -412,10 +415,15 @@ def bench_scaling_cpu(n_files=32):
             shutil.rmtree(tmpd, ignore_errors=True)
 
     try:
-        # two reps: single-shot session walls on a busy 2-vCPU host vary
-        # enough to swing the ratio by ~0.1
+        # one UNTIMED warm pass per configuration first: the timed reps
+        # then all start from identical state (page cache for the fixture
+        # files, .pyc, OS scheduler history) — the r4 capture's t1 reps
+        # swung 13.7 vs 15.1 s without this, enough to push the ratio
+        # over 1.0 on its own. Then >=3 paired reps, median + spread.
+        run(1, '29529')
+        run(2, '29530')
         effs, t1s, t2s = [], [], []
-        for rep in range(2):
+        for rep in range(3):
             t1 = run(1, '2953{}'.format(1 + 2 * rep))
             t2 = run(2, '2953{}'.format(2 + 2 * rep))
             t1s.append(round(t1, 2))
@@ -423,8 +431,13 @@ def bench_scaling_cpu(n_files=32):
             effs.append(round(t1 / (2 * t2), 3))
     finally:
         shutil.rmtree(indir, ignore_errors=True)
+    med = sorted(effs)[len(effs) // 2]
     return {'t1_s': t1s, 't2_s': t2s,
-            'efficiency': round(sum(effs) / len(effs), 3),
+            # an efficiency > 1.0 would mean the 1-proc baseline was
+            # mismeasured, not that scaling is superlinear: cap the CLAIM
+            # and keep the raw reps alongside for scrutiny
+            'efficiency': min(1.0, med),
+            'efficiency_median_raw': med,
             'efficiency_reps': effs,
             'n_reads': n_reads, 'hosts': 2, 'cpus_per_host': 1}
 

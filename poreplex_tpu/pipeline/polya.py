@@ -50,14 +50,17 @@ from ..utils.profiling import trace
 # distinguishable from XLA compilation
 _SEEN_SHAPES = set()
 
-# window buckets and their fixed dispatch row counts: one compiled shape
-# per bucket (task-count changes between rounds must not recompile), with
-# row counts bounding a launch's padded compute area at ~2M elements.
-# Deliberately COARSE: device compute is ~0.1-0.5 ms per launch while each
-# extra compiled shape costs 5-15 s of warmup over a tunnel-attached TPU,
-# and the token-packed stream means padding costs no upload bytes.
+# window buckets and their fixed dispatch row-count VARIANTS: a bounded
+# set of compiled shapes per bucket (task-count changes between rounds
+# must not recompile), with the large variant bounding a launch's padded
+# compute area at ~2M elements. The small variant exists because the
+# fused round kernel's cost scales with the PADDED row count (measured
+# ~150-250 ms per 2M-element launch on the tunneled v5e, independent of
+# how many rows are real): straggler extension rounds carry a handful of
+# tasks and would pay the full-batch kernel + download otherwise.
 _BUCKETS = (8192, 16384, 32768, 131072)
-_BUCKET_ROWS = {8192: 256, 16384: 128, 32768: 64, 131072: 16}
+_BUCKET_ROWS = {8192: (32, 256), 16384: (16, 128), 32768: (8, 64),
+                131072: (4, 16)}
 
 # token-packed stream sizes (f32 elements): the shared window stream is
 # padded to the smallest fitting size so each bucket compiles against a
@@ -67,20 +70,32 @@ _STREAM_SIZES = (1 << 19, 1 << 21)
 
 # per-pack spike-table capacity: spike_tolerance budgets RESET at every
 # poly(A) event, so an accepted interval can legally hold dozens of short
-# spikes; downloads are cheap (~2.6 ms RTT at 70 MB/s; 5 KB/row at this
-# capacity) while every overflow pays a ~100 ms host fallback dispatch
+# spikes. 48 balances the download row width (2*(head + 5*capacity) f32
+# ≈ 2 KB/row; downloads measured ~60 ms/MB + 25 ms RTT on the tunnel, so
+# capacity 128's 5.2 KB rows cost ~35 ms extra per full launch) against
+# the ~100 ms host fallback dispatch every overflowing read pays.
+# MEASURED on the 2048-read bench mix: capacity 48 overflowed 59 reads
+# (2.9%) costing 6.2 s of fallback dispatches — far more than the ~0.3 s
+# of download it saved; 128 overflows zero reads there. Do not lower
+# without re-measuring C:polya/spike_fallback.
 _MAX_SPIKES = 128
 
 # speculative extension depth: rows submitted per task per round —
-# balances extra launch/compute cost per round against chains that
-# outrun the speculation and cost a real (un-overlapped) round trip.
-# ADAPTIVE: a fresh round-1 task usually accepts at depth 0 (the HMM's
-# rough range covers the tail), so its window only carries one
-# speculative extension (+~1000 samples instead of +3000 — the window
-# stream is upload-bandwidth-bound over the tunnel); a task that has
-# ALREADY extended is demonstrably in a chain and speculates deeper.
-_SPEC_DEPTH_FIRST = 2
-_SPEC_DEPTH = 4
+# balances extra kernel rows per round against chains that outrun the
+# speculation and cost another (background) round trip. ADAPTIVE: a
+# fresh round-1 task usually accepts at depth 0 (the HMM's rough range
+# covers the tail), and with the self-driving driver an extension round
+# is off every compute thread's critical path AND coalesces with other
+# batches' stragglers — so round 1 ships NO speculative rows (an extra
+# row per task would double the round-1 kernel area, ~150-250 ms per
+# 2M-element launch, to save a background round trip for the few tasks
+# that extend). A task that HAS extended is demonstrably in a chain and
+# speculates ahead to finish the chain in fewer (background) rounds.
+# Depth 2 (not 4): a round's rows = extenders x depth, and crossing the
+# small-row-variant threshold quadruples the launch's kernel area +
+# download for speculation the majority of chains never consume.
+_SPEC_DEPTH_FIRST = 1
+_SPEC_DEPTH = 2
 
 # packing-safe window cap: the interval DP packs (prefix + _VOFF) * kmax + j
 # into i32 (ops/polya_dp.py:39-41), which overflows once
@@ -447,10 +462,11 @@ class PolyaAnalyzer:
         task.signal, qa, qb = slicer(insp_begin, insp_begin + spec[-1][0])
         task.qaffine = (qa, qb)
 
-    def _rows_for(self, blen):
-        rows = _BUCKET_ROWS.get(blen, 8)
-        # sharded kernels split rows across devices evenly
-        return -(-rows // self.n_devices) * self.n_devices
+    def _row_variants(self, blen):
+        """Allowed compiled row counts for a bucket, ascending; sharded
+        kernels split rows across devices evenly."""
+        return tuple(-(-r // self.n_devices) * self.n_devices
+                     for r in _BUCKET_ROWS.get(blen, (8,)))
 
     # ------------------------------------------------------------------
     def _dispatch_round(self, tasks):
@@ -515,12 +531,25 @@ class PolyaAnalyzer:
                 offset += len(t.signal)
 
             # one concatenated meta table for the whole stream, padded to
-            # each launch's fixed row count and sliced on device
+            # each launch's fixed row count and sliced on device; the
+            # last (or only) chunk of a bucket takes the smallest row
+            # variant that fits, so straggler rounds run the cheap shape
             units = []
             for blen, entries in sorted(by_bucket.items()):
-                rows = self._rows_for(blen)
-                for lo in range(0, len(entries), rows):
+                variants = self._row_variants(blen)
+                small, big = variants[0], variants[-1]
+                lo = 0
+                while lo < len(entries):
+                    n = len(entries) - lo
+                    # several small launches beat one mostly-padding big
+                    # launch while their per-launch overhead (~50 rows'
+                    # worth of kernel time) stays under the padding saved
+                    if small < big and n <= 3 * small:
+                        rows = small
+                    else:
+                        rows = big
                     units.append((blen, rows, entries[lo:lo + rows]))
+                    lo += rows
             all_meta = np.zeros((sum(rows for _, rows, _ in units),
                                  round_ops.META_COLS), np.float32)
             all_meta[:, 6] = 1.0
@@ -585,11 +614,10 @@ class PolyaAnalyzer:
         """One zero-arg compile job per fused-round shape, so the analyzer
         can overlap them: each compile is minutes of tunnel-server latency
         with the host idle, and concurrent compile requests pipeline."""
-        def job(size, blen):
+        def job(size, blen, rows):
             def run():
                 n = min(blen, size)
                 stream = np.zeros(size, np.uint16)
-                rows = self._rows_for(blen)
                 meta = np.zeros((rows, round_ops.META_COLS), np.float32)
                 meta[:, 6] = 1.0
                 meta[0] = (0, n, 0, *self.polya_mean_cutoff, 0.0, 1.0)
@@ -611,8 +639,8 @@ class PolyaAnalyzer:
                         **self._kernel_kwargs))
                 _SEEN_SHAPES.add(('round', rows, blen, size))
             return run
-        return [job(size, blen) for size in _STREAM_SIZES
-                for blen in _BUCKETS]
+        return [job(size, blen, rows) for size in _STREAM_SIZES
+                for blen in _BUCKETS for rows in self._row_variants(blen)]
 
     def warmup(self):
         """Compile every fused-round shape before the first real batch;

@@ -75,7 +75,11 @@ def simulate_read(rng, transcript_len=9000, polya_len=2500, adapter_len=5500,
     characteristic low-frequency signature (training.data.BARCODE_FREQS),
     emulating a barcoded control run for demux-training workflows.
     """
-    read_id = read_id or str(uuid.uuid4())
+    # ids derive from the caller's rng so a fixture set is byte-identical
+    # across invocations with one seed (the whole-run golden test and the
+    # bench fixture cache rely on this)
+    read_id = read_id or str(uuid.UUID(bytes=rng.bytes(16), version=4))
+    run_id = uuid.UUID(bytes=rng.bytes(16), version=4).hex
     parts = []
     segments = {}
     layout = [
@@ -163,7 +167,7 @@ def simulate_read(rng, transcript_len=9000, polya_len=2500, adapter_len=5500,
     rna_sequence = sequence
 
     return SimulatedRead(read_id, _to_dac(signal_pa), segments, rna_sequence,
-                         qstring, events, moves)
+                         qstring, events, moves, run_id=run_id)
 
 
 # ---------------------------------------------------------------- writers

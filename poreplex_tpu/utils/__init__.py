@@ -37,6 +37,10 @@ def enable_compile_cache():
     try:
         if jax.config.jax_compilation_cache_dir:
             return
+        # per-host-CPU subdirectory: XLA:CPU entries bake the compiling
+        # host's instruction-set baseline (SIGILL when loaded elsewhere)
+        from .aot import host_cpu_fingerprint
+        cache_dir = os.path.join(cache_dir, host_cpu_fingerprint())
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:

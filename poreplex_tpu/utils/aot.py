@@ -27,6 +27,34 @@ import pickle
 import tempfile
 
 _SOURCE_FINGERPRINT = None
+_HOST_CPU_FINGERPRINT = None
+
+
+def host_cpu_fingerprint():
+    """Fingerprint of the host CPU's feature baseline. XLA:CPU AOT
+    executables bake the compiling host's instruction-set selection; a
+    cache entry compiled on one machine and loaded on another without
+    those features is a SIGILL at run time (observed as 'machine feature
+    mismatch' warnings when a driver host loaded bench-host entries).
+    Keying every cache path on the flags line of /proc/cpuinfo (plus the
+    architecture) keeps same-host reuse intact and makes cross-host
+    reuse impossible rather than risky."""
+    global _HOST_CPU_FINGERPRINT
+    if _HOST_CPU_FINGERPRINT is None:
+        import platform
+        material = platform.machine()
+        try:
+            with open('/proc/cpuinfo') as f:
+                for line in f:
+                    if line.startswith(('flags', 'Features')):
+                        material += '\x00' + ' '.join(
+                            sorted(line.split(':', 1)[1].split()))
+                        break
+        except OSError:
+            material += '\x00' + platform.processor()
+        _HOST_CPU_FINGERPRINT = hashlib.sha1(
+            material.encode()).hexdigest()[:16]
+    return _HOST_CPU_FINGERPRINT
 
 
 def _source_fingerprint():
@@ -137,7 +165,8 @@ class AotCache:
         dev = jax.devices()[0]
         key = hashlib.sha1('\x00'.join([
             jax.__version__, dev.platform,
-            getattr(dev, 'device_kind', ''), _source_fingerprint(),
+            getattr(dev, 'device_kind', ''), host_cpu_fingerprint(),
+            _source_fingerprint(),
             self.extra_key, name, signature]).encode()).hexdigest()
         return os.path.join(self.dir, '{}-{}.aotx'.format(name, key))
 

@@ -74,3 +74,20 @@ def test_model_asset_key_tracks_weight_files(tmp_path):
     key3 = model_asset_key(config)
     config['segmentation_model'][0]['emission'][0][0] -= 0.5
     assert key3 != key2
+
+
+def test_host_cpu_fingerprint_keys_cache_paths(tmp_path, monkeypatch):
+    """AOT entry paths must change with the host CPU feature baseline:
+    an executable compiled on one machine must never be a cache hit on a
+    host with different CPU features (XLA:CPU AOT bakes the compiling
+    host's instruction-set selection; loading elsewhere is a SIGILL)."""
+    from poreplex_tpu.utils import aot
+
+    fp1 = aot.host_cpu_fingerprint()
+    assert fp1 and fp1 == aot.host_cpu_fingerprint()    # stable, cached
+
+    cache = aot.AotCache(cache_dir=str(tmp_path))
+    path1 = cache._key_path('prog', 'sig')
+    monkeypatch.setattr(aot, '_HOST_CPU_FINGERPRINT', 'feedfacedeadbeef')
+    path2 = cache._key_path('prog', 'sig')
+    assert path1 != path2
