@@ -42,15 +42,33 @@ from .event_detection import detect_events_core
 from .polya_dp import dp_core
 
 # decision-pack geometry: [valid, s, e, e_is_last, mean_level,
-# longest_stdv, begin_rel, end_rel, dwell, spike_count] + max_spikes * 5
+# longest_stdv, begin_rel, end_rel, dwell, spike_count]
 PACK_HEAD = 10
 SPIKE_COLS = 5          # length, code (0 empty / 2 truncated / 3 full),
                         # mean_prev, mean_self, mean_next
 GLOBAL_COLS = 6         # n_events, anchor_any, anchor_mean, recal_lo,
                         # recal_hi, recal_marked_len
 
+# one head row per read: pack-A head, pack-B head, globals
+HEAD_COLS = 2 * PACK_HEAD + GLOBAL_COLS
+
+# spike tables ship as ONE device-compacted stream per launch instead of
+# max_spikes * SPIKE_COLS padded columns per pack: typical reads carry
+# 0-3 spikes, so padded tables made the download ~5 KB/row (~60 ms/MB +
+# 25 ms RTT over the tunnel) for ~1% real content. The stream capacity
+# scales with the launch's row count; rows whose table would run past
+# the capacity are detected on the host (same running-offset arithmetic)
+# and take the spike-overflow fallback exactly like a per-row overflow.
+SPIKE_STREAM_PER_ROW = 16
+
+
+def spike_capacity(rows):
+    return rows * SPIKE_STREAM_PER_ROW
+
 
 def pack_width(max_spikes):
+    """Width of the LEGACY single-array row (head-only layout no longer
+    includes it; kept for size accounting in tests/docs)."""
     return 2 * (PACK_HEAD + max_spikes * SPIKE_COLS) + GLOBAL_COLS
 
 
@@ -136,13 +154,13 @@ def _decide(starts, length, mean, sub_stdv, n_events, is_p, s, e, v,
     code = jnp.where(has_nb, jnp.where(nxt_ok, 3, 2), 0).astype(jnp.float32)
     code = jnp.where(have, code, 0.0)
     spikes = jnp.stack(
-        [spk_len, code, m_prev, m_self, m_next], axis=2).reshape(R, -1)
+        [spk_len, code, m_prev, m_self, m_next], axis=2)   # [R, S, 5]
 
     head = jnp.stack([
         valid, s.astype(jnp.float32), e.astype(jnp.float32), e_is_last,
         mean_level, longest_stdv, begin_rel, end_rel, dwell,
         spike_count.astype(jnp.float32)], axis=1)
-    return jnp.concatenate([head, spikes], axis=1)
+    return head, spikes, have
 
 
 META_COLS = 7
@@ -161,7 +179,8 @@ def polya_round_core(stream, meta, *, blen, window_length1,
     transfer costs a ~25 ms tunnel round trip, and the u16 stream halves
     the big one).
 
-    Returns [R, pack_width(max_spikes)] f32."""
+    Returns (heads [R, HEAD_COLS] f32, spike stream
+    [spike_capacity(R), SPIKE_COLS] f32) — see unpack_rows."""
     offset = meta[:, 0].astype(jnp.int32)
     lengths = meta[:, 1].astype(jnp.int32)
     adapter_end = meta[:, 2].astype(jnp.int32)
@@ -229,16 +248,37 @@ def polya_round_core(stream, meta, *, blen, window_length1,
         jnp.concatenate([n_events, n_events], axis=0),
         spike_weight, spike_tolerance)
 
-    pack_a = _decide(starts, length, mean, sub_stdv, n_events, is_p1,
-                     s_all[:R], e_all[:R], v_all[:R], max_spikes)
-    pack_b = _decide(starts, length, mean, sub_stdv, n_events, is_p2,
-                     s_all[R:], e_all[R:], v_all[R:], max_spikes)
+    head_a, spk_a, have_a = _decide(
+        starts, length, mean, sub_stdv, n_events, is_p1,
+        s_all[:R], e_all[:R], v_all[:R], max_spikes)
+    head_b, spk_b, have_b = _decide(
+        starts, length, mean, sub_stdv, n_events, is_p2,
+        s_all[R:], e_all[R:], v_all[R:], max_spikes)
 
     tail = jnp.stack([
         n_events.astype(jnp.float32),
         anchor_any.astype(jnp.float32),
         anchor_mean, recal_lo, recal_hi, marked_len], axis=1)
-    return jnp.concatenate([pack_a, pack_b, tail], axis=1)
+    heads = jnp.concatenate([head_a, head_b, tail], axis=1)
+
+    # compact both packs' spike tables into one [CAP, 5] stream: pack
+    # order is all A-packs then all B-packs (the host recomputes the same
+    # running offsets from the downloaded spike counts), each pack
+    # contributing min(spike_count, max_spikes) rows. Entries past the
+    # capacity drop on device and are detected by the host's offset
+    # arithmetic -> spike-overflow fallback for exactly those packs.
+    cap = spike_capacity(R)
+    have = jnp.concatenate([have_a, have_b], axis=0)      # [2R, S]
+    vals = jnp.concatenate([spk_a, spk_b], axis=0)        # [2R, S, 5]
+    stored = jnp.sum(have.astype(jnp.int32), axis=1)      # <= max_spikes
+    offs = jnp.cumsum(stored) - stored                    # exclusive
+    k = jnp.arange(have.shape[1], dtype=jnp.int32)[None, :]
+    idx = offs[:, None] + k
+    idx = jnp.where(have & (idx < cap), idx, cap)         # cap = drop row
+    stream_out = jnp.zeros((cap + 1, SPIKE_COLS), jnp.float32)
+    stream_out = stream_out.at[idx.reshape(-1)].set(
+        vals.reshape(-1, SPIKE_COLS), mode='drop')
+    return heads, stream_out[:cap]
 
 
 polya_round = partial(jax.jit, static_argnames=(
@@ -249,17 +289,43 @@ polya_round = partial(jax.jit, static_argnames=(
     'interpret'))(polya_round_core)
 
 
+def unpack_rows(heads, spike_stream, used, max_spikes):
+    """Decode a launch's (heads [rows, HEAD_COLS], spike stream [CAP, 5])
+    download into RoundRows for its first ``used`` rows, replaying the
+    kernel's pack order (all A-packs then all B-packs over the FULL row
+    count, padding included) to recover each pack's stream offset. Packs
+    whose table ran past the stream capacity get spikes_ok=False; the
+    pipeline sends exactly those to the spike-overflow host fallback."""
+    import numpy as np
+    rows = heads.shape[0]
+    cap = spike_stream.shape[0]
+    stored = np.minimum(
+        np.concatenate([heads[:, 9], heads[:, PACK_HEAD + 9]]),
+        max_spikes).astype(np.int64)
+    offs = np.cumsum(stored) - stored
+    fits = offs + stored <= cap
+    out = []
+    for i in range(used):
+        a = _PackView(heads[i, :PACK_HEAD],
+                      spike_stream[offs[i]:offs[i] + stored[i]],
+                      bool(fits[i]))
+        b = _PackView(heads[i, PACK_HEAD:2 * PACK_HEAD],
+                      spike_stream[offs[rows + i]:
+                                   offs[rows + i] + stored[rows + i]],
+                      bool(fits[rows + i]))
+        out.append(RoundRow(a, b, heads[i, 2 * PACK_HEAD:]))
+    return out
+
+
 class RoundRow:
-    """Decoded view of one kernel output row."""
+    """Decoded view of one read's kernel outputs."""
 
     __slots__ = ('a', 'b', 'n_events', 'anchor_any', 'anchor_mean',
                  'recal_lo', 'recal_hi', 'recal_marked_len')
 
-    def __init__(self, row, max_spikes):
-        w = PACK_HEAD + max_spikes * SPIKE_COLS
-        self.a = _PackView(row[:w], max_spikes)
-        self.b = _PackView(row[w:2 * w], max_spikes)
-        tail = row[2 * w:]
+    def __init__(self, a, b, tail):
+        self.a = a
+        self.b = b
         self.n_events = int(tail[0])
         self.anchor_any = tail[1] > 0
         self.anchor_mean = float(tail[2])
@@ -271,9 +337,9 @@ class RoundRow:
 class _PackView:
     __slots__ = ('valid', 's', 'e', 'e_is_last', 'mean_level',
                  'longest_stdv', 'begin_rel', 'end_rel', 'dwell',
-                 'spike_count', '_spk', '_max_spikes')
+                 'spike_count', 'spikes_ok', '_spk')
 
-    def __init__(self, seg, max_spikes):
+    def __init__(self, seg, spk, spikes_ok):
         self.valid = seg[0] > 0
         self.s = int(seg[1])
         self.e = int(seg[2])
@@ -284,16 +350,16 @@ class _PackView:
         self.end_rel = int(seg[7])
         self.dwell = int(seg[8])
         self.spike_count = int(seg[9])
-        self._spk = seg[PACK_HEAD:]
-        self._max_spikes = max_spikes
+        self.spikes_ok = spikes_ok
+        self._spk = spk
 
     def spikes(self):
-        """Decode the spike table into the reference's tuples
-        (poreplex/polya.py:110-114); valid only when spike_count fits
-        the table (the caller falls back to a host recompute otherwise)."""
+        """Decode the spike rows into the reference's tuples
+        (poreplex/polya.py:110-114); valid only when spike_count fit the
+        per-pack table AND the stream capacity (spikes_ok — the caller
+        falls back to a host recompute otherwise)."""
         out = []
-        for k in range(min(self.spike_count, self._max_spikes)):
-            row = self._spk[k * SPIKE_COLS:(k + 1) * SPIKE_COLS]
+        for row in self._spk:
             code = int(row[1])
             if code == 0:
                 out.append((float(row[0]),))

@@ -5,8 +5,8 @@ Faithful re-orchestration of the reference's recursive per-read analyzer
 (poreplex/polya.py:30-187) as wavefront rounds over a whole batch. Each
 round uploads ONE token-packed stream holding every active read's raw
 signal window plus a tiny [R, 7] meta table per window bucket
-(round_ops.META_COLS), and
-downloads ~1K decision scalars per read — the median pre-filter, event
+(round_ops.META_COLS), and downloads ~26 decision scalars per read plus
+one device-compacted spike stream — the median pre-filter, event
 detection, tail marking, interval DP, stdv QC, spike bookkeeping AND the
 shifted-signal anchor recalibration all run fused on device
 (ops.polya_round). The host replays the reference's decision lattice
@@ -245,7 +245,8 @@ class _WavefrontDriver:
             results = [None] * len(launches)
             with trace('C:polya/download'):
                 for i, (chunk, rows, blen, size, out) in enumerate(launches):
-                    results[i] = WIRE.await_array('polya', out)
+                    results[i] = tuple(WIRE.await_array('polya', h)
+                                       for h in out)
             next_tasks = self.analyzer._collect_round(
                 tasks, launches, stride, results)
             requeue = [nt for nt in next_tasks
@@ -632,11 +633,13 @@ class PolyaAnalyzer:
                         **self._kernel_kwargs)
                 if exe is not None:
                     self._aot_exes[(size, blen, rows)] = exe
-                    np.asarray(exe(stream_dev, meta_dev))
+                    out = exe(stream_dev, meta_dev)
                 else:
-                    np.asarray(round_ops.polya_round(
+                    out = round_ops.polya_round(
                         stream_dev, meta_dev, blen=blen,
-                        **self._kernel_kwargs))
+                        **self._kernel_kwargs)
+                for h in out:
+                    np.asarray(h)
                 _SEEN_SHAPES.add(('round', rows, blen, size))
             return run
         return [job(size, blen, rows) for size in _STREAM_SIZES
@@ -657,13 +660,15 @@ class PolyaAnalyzer:
                      else 'C:polya/compile')
             _SEEN_SHAPES.add(key)
             if results is not None and results[li] is not None:
-                arr = results[li]
+                heads, spk_stream = results[li]
             else:
                 with trace(stage):
-                    arr = np.asarray(out)
+                    heads, spk_stream = (np.asarray(h) for h in out)
+            decoded = round_ops.unpack_rows(heads, spk_stream, len(chunk),
+                                            _MAX_SPIKES)
             for i, entry in enumerate(chunk):
                 t, r = entry[0], entry[1]
-                t.results[r] = round_ops.RoundRow(arr[i], _MAX_SPIKES)
+                t.results[r] = decoded[i]
 
         next_tasks = []
         with trace('C:polya/replay'):
@@ -741,7 +746,7 @@ class PolyaAnalyzer:
 
         # stdv QC on the longest event in the interval; NaN compares False
         if pack.longest_stdv < self.polya_stdv_max:
-            if pack.spike_count > _MAX_SPIKES:
+            if pack.spike_count > _MAX_SPIKES or not pack.spikes_ok:
                 with trace('C:polya/spike_fallback'):
                     spikes = self._spikes_fallback(t, pack, insp_end)
             else:

@@ -76,7 +76,7 @@ class UnsplitReadDetector:
     def _run_decode(self, stream_dev, meta_dev, emax):
         exe = None
         if self.sharding is None or self.n_devices <= 1:
-            key = (stream_dev.shape[0], emax)
+            key = (stream_dev.shape[0], meta_dev.shape[0], emax)
             exe = self._aot_exes.get(key, self._UNSET)
             if exe is self._UNSET:  # un-prewarmed: load-only pickup
                 exe = self._aot.load_only('unsplit_decode_runs',
@@ -303,11 +303,20 @@ class UnsplitReadDetector:
             paths.extend(path[i, :lens[i]] for i in range(used))
         return paths
 
+    def _row_variant(self, remaining):
+        """Padded row count for a launch: the Viterbi kernel's cost
+        scales with the PADDED row count, so a remainder chunk (the tail
+        of a batch, or a small batch) takes the quarter-size compiled
+        shape instead of paying the full-size kernel + download."""
+        small = -(-max(1, self.rows // self.ROWS_MULT) //
+                  self.n_devices) * self.n_devices
+        return small if remaining <= 3 * small else self.rows
+
     def _pack_chunk(self, jobs, cursor):
         """Pack jobs[cursor:] into one launch: per-read event streams laid
         end-to-end (each read uploaded once per chunk), bounded by the row
         count and the stream capacity."""
-        rows = self.rows
+        rows = self._row_variant(len(jobs) - cursor)
         stream = np.zeros(self.STREAM_SIZE, np.float32)
         meta = np.zeros((rows, 2), np.int32)
         offsets = {}        # id(read) -> stream offset
@@ -351,22 +360,24 @@ class UnsplitReadDetector:
     def warmup_jobs(self):
         """One zero-arg compile job per event bucket (see
         PolyaAnalyzer.warmup_jobs for why these run concurrently)."""
-        def job(emax):
+        def job(emax, rows):
             def run():
                 stream = self._put_stream(
                     np.zeros(self.STREAM_SIZE, np.float32))
-                meta, = self._put_meta(np.zeros((self.rows, 2), np.int32))
+                meta, = self._put_meta(np.zeros((rows, 2), np.int32))
                 if self.sharding is None or self.n_devices <= 1:
                     exe = self._aot.load_or_compile(
                         self._decode_runs, 'unsplit_decode_runs',
                         stream, meta, emax=emax)
                     if exe is not None:
-                        self._aot_exes[(stream.shape[0], emax)] = exe
+                        self._aot_exes[
+                            (stream.shape[0], rows, emax)] = exe
                         np.asarray(exe(stream, meta))
                         return
                 np.asarray(self._decode_runs(stream, meta, emax=emax))
             return run
-        return [job(emax) for emax in self.EVENT_BUCKETS]
+        return [job(emax, rows) for emax in self.EVENT_BUCKETS
+                for rows in {self._row_variant(1), self.rows}]
 
     def warmup(self):
         """Compile the fused decode for every event bucket up front."""

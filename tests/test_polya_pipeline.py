@@ -361,3 +361,41 @@ def test_wire_accounting_records_polya_rounds(polya_config):
     assert snap['polya']['download_mb'] > 0
     assert snap['polya']['busy_s'] > 0
     assert snap['device_busy_s'] >= snap['polya']['busy_s']
+
+
+def test_unpack_rows_offsets_and_capacity_overflow():
+    """unpack_rows must replay the kernel's pack order (all A-packs over
+    the FULL padded row count, then all B-packs) when slicing the
+    compacted spike stream, and must flag packs whose table ran past the
+    stream capacity (spikes_ok=False -> host fallback)."""
+    from poreplex_tpu.ops import polya_round as ro
+
+    rows, max_spikes = 3, 8
+    heads = np.zeros((rows, ro.HEAD_COLS), np.float32)
+    # a-pack spike counts: [2, 0, 1]; b-pack: [1, 3, 0]
+    heads[:, 9] = [2, 0, 1]
+    heads[:, ro.PACK_HEAD + 9] = [1, 3, 0]
+    total = 7
+    stream = np.zeros((total, ro.SPIKE_COLS), np.float32)
+    stream[:, 0] = np.arange(total) + 100     # lengths identify entries
+    stream[:, 1] = 3                          # full neighborhoods
+
+    decoded = ro.unpack_rows(heads, stream, rows, max_spikes)
+    # device order: a0(2), a1(0), a2(1), b0(1), b1(3), b2(0)
+    assert [s[0] for s in decoded[0].a.spikes()] == [100.0, 101.0]
+    assert decoded[1].a.spikes() == []
+    assert [s[0] for s in decoded[2].a.spikes()] == [102.0]
+    assert [s[0] for s in decoded[0].b.spikes()] == [103.0]
+    assert [s[0] for s in decoded[1].b.spikes()] == [104.0, 105.0, 106.0]
+    assert all(p.spikes_ok for d in decoded for p in (d.a, d.b))
+
+    # same counts, capacity 5: a0..a2+b0 fit (offsets 0,2,2,3), b1 spills
+    decoded = ro.unpack_rows(heads, stream[:5], rows, max_spikes)
+    assert decoded[0].a.spikes_ok and decoded[2].a.spikes_ok
+    assert decoded[0].b.spikes_ok
+    assert not decoded[1].b.spikes_ok
+    # per-pack cap: counts beyond max_spikes only store max_spikes rows
+    heads2 = heads.copy()
+    heads2[0, 9] = max_spikes + 5
+    dec2 = ro.unpack_rows(heads2, stream, rows, max_spikes)
+    assert len(dec2[0].a.spikes()) == min(max_spikes + 5, total)
