@@ -196,14 +196,15 @@ def compact_peaks(peaks_short, peaks_long, max_peaks):
         batch, 2 * seqlen)
     validp = inter > 0
     running = jnp.cumsum(validp.astype(jnp.int32), axis=1)
-    count = jnp.minimum(running[:, -1], max_peaks)
+    true_count = running[:, -1]
+    count = jnp.minimum(true_count, max_peaks)
     ks = jnp.arange(1, max_peaks + 1, dtype=jnp.int32)
     idx = jax.vmap(lambda row: jnp.searchsorted(row, ks, side='left'))(
         running)
     gathered = jnp.take_along_axis(inter, jnp.minimum(idx, 2 * seqlen - 1),
                                    axis=1)
     in_range = jnp.arange(max_peaks)[None, :] < count[:, None]
-    return jnp.where(in_range, gathered, -1), count
+    return jnp.where(in_range, gathered, -1), count, true_count
 
 
 def event_stats(boundaries, n_bounds, center, cs, css, lengths):
@@ -265,11 +266,15 @@ def detect_events_core(signal, lengths, window_length1=7, window_length2=20,
     else:
         ps, pl = detect_peaks(t1, t2, lengths, threshold1, threshold2,
                               window_length1, window_length2, peak_height)
-    bounds, n_bounds = compact_peaks(ps, pl, max_peaks)
+    bounds, n_bounds, true_peaks = compact_peaks(ps, pl, max_peaks)
     starts, length, mean, stdv, n_events = event_stats(
         bounds, n_bounds, center, cs, css, lengths)
     out = {'start': starts, 'length': length, 'mean': mean, 'stdv': stdv,
-           'n_events': n_events}
+           'n_events': n_events,
+           # true (pre-clamp) peak count: > max_peaks means the event
+           # table was TRUNCATED and downstream decisions are unsafe —
+           # the poly(A) pipeline retries such rows in a larger bucket
+           'peaks_truncated': true_peaks > max_peaks}
     if return_cumsums:
         out.update({'center': center, 'cs': cs, 'css': css})
     return out

@@ -46,8 +46,8 @@ from .polya_dp import dp_core
 PACK_HEAD = 10
 SPIKE_COLS = 5          # length, code (0 empty / 2 truncated / 3 full),
                         # mean_prev, mean_self, mean_next
-GLOBAL_COLS = 6         # n_events, anchor_any, anchor_mean, recal_lo,
-                        # recal_hi, recal_marked_len
+GLOBAL_COLS = 7         # n_events, anchor_any, anchor_mean, recal_lo,
+                        # recal_hi, recal_marked_len, peaks_truncated
 
 # one head row per read: pack-A head, pack-B head, globals
 HEAD_COLS = 2 * PACK_HEAD + GLOBAL_COLS
@@ -59,7 +59,8 @@ HEAD_COLS = 2 * PACK_HEAD + GLOBAL_COLS
 # scales with the launch's row count; rows whose table would run past
 # the capacity are detected on the host (same running-offset arithmetic)
 # and take the spike-overflow fallback exactly like a per-row overflow.
-SPIKE_STREAM_PER_ROW = 16
+SPIKE_STREAM_PER_ROW = 24   # 16 measured 2 overflow fallbacks / 2048
+                            # reads; +8 rows/read costs ~40 KB per launch
 
 
 def spike_capacity(rows):
@@ -258,7 +259,8 @@ def polya_round_core(stream, meta, *, blen, window_length1,
     tail = jnp.stack([
         n_events.astype(jnp.float32),
         anchor_any.astype(jnp.float32),
-        anchor_mean, recal_lo, recal_hi, marked_len], axis=1)
+        anchor_mean, recal_lo, recal_hi, marked_len,
+        ev['peaks_truncated'].astype(jnp.float32)], axis=1)
     heads = jnp.concatenate([head_a, head_b, tail], axis=1)
 
     # compact both packs' spike tables into one [CAP, 5] stream: pack
@@ -321,7 +323,8 @@ class RoundRow:
     """Decoded view of one read's kernel outputs."""
 
     __slots__ = ('a', 'b', 'n_events', 'anchor_any', 'anchor_mean',
-                 'recal_lo', 'recal_hi', 'recal_marked_len')
+                 'recal_lo', 'recal_hi', 'recal_marked_len',
+                 'peaks_truncated', 'blen')
 
     def __init__(self, a, b, tail):
         self.a = a
@@ -332,6 +335,8 @@ class RoundRow:
         self.recal_lo = float(tail[3])
         self.recal_hi = float(tail[4])
         self.recal_marked_len = float(tail[5])
+        self.peaks_truncated = tail[6] > 0
+        self.blen = 0       # window bucket; set by the collecting caller
 
 
 class _PackView:

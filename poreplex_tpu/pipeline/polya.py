@@ -62,6 +62,15 @@ _BUCKETS = (8192, 16384, 32768, 131072)
 _BUCKET_ROWS = {8192: (32, 256), 16384: (16, 128), 32768: (8, 64),
                 131072: (4, 16)}
 
+# event-table width per bucket: the round kernel's P-scaled stages (DP
+# scan, event-stat gathers) measured ~60 ms per full launch at P=1023 vs
+# P=255 while real poly(A) windows carry ~30-50 events (tails are
+# homopolymer runs). The kernel reports rows whose TRUE peak count
+# exceeded the width (RoundRow.peaks_truncated) and the wavefront
+# retries exactly those tasks in the next-larger bucket, so truncation
+# can never corrupt a decision below the top bucket.
+_BUCKET_PEAKS = {8192: 255, 16384: 511, 32768: 1023, 131072: 1023}
+
 # token-packed stream sizes (f32 elements): the shared window stream is
 # padded to the smallest fitting size so each bucket compiles against a
 # couple of stream shapes only; rounds larger than the biggest size are
@@ -120,7 +129,7 @@ class _Task:
     __slots__ = ('read', 'rough_begin', 'rough_end', 'orig_end_none',
                  'polya_range', 'depth', 'signal', 'qaffine', 'insp_begin',
                  'full_length', 'adapter_end', 'spec', 'results',
-                 'ticket', 'rounds')
+                 'ticket', 'rounds', 'min_bucket')
 
     def __init__(self, read, rough_begin, rough_end, polya_range, depth):
         self.read = read
@@ -131,6 +140,7 @@ class _Task:
         self.depth = depth
         self.ticket = None
         self.rounds = 1
+        self.min_bucket = 0     # raised on peaks_truncated retries
 
 
 class _Ticket:
@@ -527,7 +537,8 @@ class PolyaAnalyzer:
             offset = 0
             for gi, t in enumerate(group):
                 for r, (length, _) in enumerate(t.spec):
-                    by_bucket.setdefault(_bucket_len(length), []).append(
+                    blen = max(_bucket_len(length), t.min_bucket)
+                    by_bucket.setdefault(blen, []).append(
                         (t, r, offset, length, gi))
                 offset += len(t.signal)
 
@@ -579,22 +590,29 @@ class PolyaAnalyzer:
                     # device-side slice: no extra host->device transfer
                     meta_dev = meta_all_dev[base:base + rows]
                 base += rows
+                kw = self._bucket_kwargs(blen)
                 exe = None
                 if not sharded:
                     exe = self._aot_exes.get((size, blen, rows), _UNSET)
                     if exe is _UNSET:   # un-prewarmed session: try a
                         exe = self._aot.load_only(   # load-only pickup
                             'polya_round', stream_dev, meta_dev,
-                            blen=blen, **self._kernel_kwargs)
+                            blen=blen, **kw)
                         self._aot_exes[(size, blen, rows)] = exe
                 if exe is not None:
                     out = exe(stream_dev, meta_dev)
                 else:
                     out = round_ops.polya_round(
-                        stream_dev, meta_dev, blen=blen,
-                        **self._kernel_kwargs)
+                        stream_dev, meta_dev, blen=blen, **kw)
                 launches.append((chunk, rows, blen, size, out))
         return launches
+
+    def _bucket_kwargs(self, blen):
+        """Kernel statics for one bucket: the event-table width scales
+        with the window size (_BUCKET_PEAKS)."""
+        kw = dict(self._kernel_kwargs)
+        kw['max_peaks'] = _BUCKET_PEAKS.get(blen, self.max_peaks)
+        return kw
 
     def _put_stream(self, stream):
         import jax
@@ -625,19 +643,18 @@ class PolyaAnalyzer:
                 meta_dev, = self._put_meta(meta)
                 stream_dev = self._put_stream(stream)
                 sharded = self.sharding is not None and self.n_devices > 1
+                kw = self._bucket_kwargs(blen)
                 exe = None
                 if not sharded:
                     exe = self._aot.load_or_compile(
                         round_ops.polya_round, 'polya_round',
-                        stream_dev, meta_dev, blen=blen,
-                        **self._kernel_kwargs)
+                        stream_dev, meta_dev, blen=blen, **kw)
                 if exe is not None:
                     self._aot_exes[(size, blen, rows)] = exe
                     out = exe(stream_dev, meta_dev)
                 else:
                     out = round_ops.polya_round(
-                        stream_dev, meta_dev, blen=blen,
-                        **self._kernel_kwargs)
+                        stream_dev, meta_dev, blen=blen, **kw)
                 for h in out:
                     np.asarray(h)
                 _SEEN_SHAPES.add(('round', rows, blen, size))
@@ -668,6 +685,7 @@ class PolyaAnalyzer:
                                             _MAX_SPIKES)
             for i, entry in enumerate(chunk):
                 t, r = entry[0], entry[1]
+                decoded[i].blen = blen
                 t.results[r] = decoded[i]
 
         next_tasks = []
@@ -689,6 +707,21 @@ class PolyaAnalyzer:
             row = t.results[r]
             depth = t.depth + r
             range_was_set = t.polya_range is not None
+
+            if row.peaks_truncated and row.blen < _BUCKETS[-1]:
+                # the bucket's event-table width truncated this window's
+                # event table: decisions from it are unsafe — rerun the
+                # task AT THIS DEPTH (earlier speculative rows were all
+                # clean extends, already reflected in depth/rough_end)
+                # in the next bucket (2x window padding, 2x table
+                # width); monotone growth bounds the retries
+                nt = _Task(t.read, t.rough_begin, t.rough_end + r * meu,
+                           t.polya_range, depth)
+                nt.orig_end_none = t.orig_end_none if r == 0 else False
+                nt.ticket = t.ticket
+                nt.rounds = t.rounds + 1
+                nt.min_bucket = next(b for b in _BUCKETS if b > row.blen)
+                return nt
 
             if t.orig_end_none and r == 0:
                 # rough range had no end: straight to anchor recalibration

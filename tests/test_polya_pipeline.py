@@ -399,3 +399,29 @@ def test_unpack_rows_offsets_and_capacity_overflow():
     heads2[0, 9] = max_spikes + 5
     dec2 = ro.unpack_rows(heads2, stream, rows, max_spikes)
     assert len(dec2[0].a.spikes()) == min(max_spikes + 5, total)
+
+
+def test_peak_truncation_retries_in_larger_bucket(polya_config,
+                                                  monkeypatch):
+    """With the event-table width forced tiny for the smallest bucket,
+    a window whose true event count exceeds it must be flagged by the
+    kernel (peaks_truncated) and retried in the next bucket — ending
+    with the same result as the oracle, never a silently-truncated
+    decision."""
+    from poreplex_tpu.pipeline import polya as polya_mod
+    monkeypatch.setitem(polya_mod._BUCKET_PEAKS, 8192, 8)
+
+    rng = np.random.RandomState(50)
+    sig = build_signal(rng, polya_len=2400, spikes=2)
+    rough = rough_range_for(4000, 2400)
+    read = FakeRead(sig)
+    analyzer = PolyaAnalyzer(polya_config)
+    analyzer.process_batch([(read, rough)], STRIDE)
+
+    oracle = PolyaOracle(polya_config)
+    oracle(sig, RATE, rough, STRIDE)
+    assert (read.polya is None) == (oracle.result is None)
+    if oracle.result is not None:
+        assert read.polya['begin'] == oracle.result['begin']
+        assert read.polya['end'] == oracle.result['end']
+        assert len(read.polya['spikes']) == len(oracle.result['spikes'])

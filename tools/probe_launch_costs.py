@@ -71,7 +71,7 @@ def main():
     for size_log, blen in ((21, 8192), (21, 16384), (21, 32768),
                            (19, 8192)):
         size = 1 << size_log
-        rows = _BUCKET_ROWS[blen]
+        rows = _BUCKET_ROWS[blen][-1]
         stream = np.random.randint(0, 800, size).astype(np.uint16)
         meta = np.zeros((rows, round_ops.META_COLS), np.float32)
         meta[:, 6] = 1.0
@@ -84,11 +84,12 @@ def main():
         def run(stream=stream, meta=meta, blen=blen):
             out = round_ops.polya_round(jnp.asarray(stream),
                                         jnp.asarray(meta), blen=blen, **kw)
-            return np.asarray(out)
+            return [np.asarray(h) for h in out]
 
-        arr = run()
+        arrs = run()
         print('polya stream=2^{} blen={:6d} rows={:3d} out={}MB'.format(
-            size_log, blen, rows, round(arr.nbytes / 1e6, 2)),
+            size_log, blen, rows,
+            round(sum(a.nbytes for a in arrs) / 1e6, 2)),
             timeit(run, reps=4))
 
     # --- unsplit decode ---
@@ -108,5 +109,64 @@ def main():
             timeit(run, reps=4))
 
 
+def probe_components():
+    """Time the fused round's pieces at round-1 shape [256, 8192]."""
+    import jax
+    import jax.numpy as jnp
+    from poreplex_tpu.ops import event_detection as ed
+    from poreplex_tpu.ops import polya_round as ro
+    from poreplex_tpu.ops.pallas_event_detection import detect_peaks
+    from poreplex_tpu.ops.pallas_polya_dp import dp_pallas_core
+
+    rng = np.random.RandomState(0)
+    R, T = 256, 8192
+    sig = rng.normal(100, 2, (R, T)).astype(np.float32)
+    lens = np.full(R, T, np.int32)
+    sig_d, lens_d = jnp.asarray(sig), jnp.asarray(lens)
+
+    med = jax.jit(lambda s: ro._medfilt_batch(s, 5))
+    np.asarray(med(sig_d))
+    print('medfilt [256,8192]      ',
+          timeit(lambda: med(sig_d).block_until_ready(), reps=5))
+
+    cs = jax.jit(lambda s, l: ed._centered_cumsums(s, l))
+    _c, c1, c2 = cs(sig_d, lens_d)
+    print('cumsums                 ',
+          timeit(lambda: jax.block_until_ready(cs(sig_d, lens_d)), reps=5))
+
+    t1 = jax.jit(lambda c, cc, l: ed.compute_tstat(c, cc, l, 7))(
+        c1, c2, lens_d)
+    t2 = jax.jit(lambda c, cc, l: ed.compute_tstat(c, cc, l, 20))(
+        c1, c2, lens_d)
+    jax.block_until_ready((t1, t2))
+
+    pk = lambda: jax.block_until_ready(detect_peaks(
+        t1, t2, lens_d, 4.3, 2.6, 7, 20, 1.0))
+    pk()
+    print('pallas detect_peaks     ', timeit(pk, reps=5))
+
+    ev = jax.jit(functools.partial(
+        ed.detect_events_core, window_length1=7, window_length2=20,
+        threshold1=4.3, threshold2=2.6, peak_height=1.0, max_peaks=1023,
+        use_pallas=True, return_cumsums=True))
+    jax.block_until_ready(ev(sig_d, lens_d))
+    print('detect_events_core full ',
+          timeit(lambda: jax.block_until_ready(ev(sig_d, lens_d)), reps=5))
+
+    P = 1024
+    is_p = jnp.asarray(rng.uniform(size=(2 * R, P)) < 0.9)
+    lengths = jnp.asarray(rng.uniform(1, 30, (2 * R, P)).astype(np.float32))
+    nev = jnp.full(2 * R, P, jnp.int32)
+    dpf = jax.jit(lambda a, b, c: dp_pallas_core(a, b, c, 1.5, 16))
+    jax.block_until_ready(dpf(is_p, lengths, nev))
+    print('pallas dp [512,1024]    ',
+          timeit(lambda: jax.block_until_ready(dpf(is_p, lengths, nev)),
+                 reps=5))
+
+
+import functools
 if __name__ == '__main__':
-    main()
+    if os.environ.get('PROBE_COMPONENTS'):
+        probe_components()
+    else:
+        main()
