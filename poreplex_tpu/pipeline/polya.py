@@ -64,12 +64,14 @@ _BUCKET_ROWS = {8192: (32, 256), 16384: (16, 128), 32768: (8, 64),
 
 # event-table width per bucket: the round kernel's P-scaled stages (DP
 # scan, event-stat gathers) measured ~60 ms per full launch at P=1023 vs
-# P=255 while real poly(A) windows carry ~30-50 events (tails are
-# homopolymer runs). The kernel reports rows whose TRUE peak count
-# exceeded the width (RoundRow.peaks_truncated) and the wavefront
-# retries exactly those tasks in the next-larger bucket, so truncation
-# can never corrupt a decision below the top bucket.
-_BUCKET_PEAKS = {8192: 255, 16384: 511, 32768: 1023, 131072: 1023}
+# P=255. The kernel reports rows whose TRUE peak count exceeded the
+# width (RoundRow.peaks_truncated) and the wavefront retries exactly
+# those tasks in the next-larger bucket, so truncation can never corrupt
+# a decision below the top bucket. MEASURED on the bench mix (windows
+# include event-dense transcript margin, not just the homopolymer tail):
+# width 255 truncated 27% of reads (141/512 — the retry traffic wiped
+# out the kernel saving); width 511 truncated zero.
+_BUCKET_PEAKS = {8192: 511, 16384: 1023, 32768: 1023, 131072: 1023}
 
 # token-packed stream sizes (f32 elements): the shared window stream is
 # padded to the smallest fitting size so each bucket compiles against a
@@ -709,6 +711,8 @@ class PolyaAnalyzer:
             range_was_set = t.polya_range is not None
 
             if row.peaks_truncated and row.blen < _BUCKETS[-1]:
+                with trace('C:polya/trunc_retry'):
+                    pass        # counter: stage_calls tally the retries
                 # the bucket's event-table width truncated this window's
                 # event table: decisions from it are unsafe — rerun the
                 # task AT THIS DEPTH (earlier speculative rows were all

@@ -161,6 +161,32 @@ int f5i_first_child(int64_t fid, const char* group, char* out, int cap) {
     return n > 0 ? 0 : -1;
 }
 
+// newline-joined child link names of a group (one listing call replaces
+// the previous N existence probes, each a full multi-level path walk —
+// the basecall-group discovery cost ~0.4 ms/read out of ~1.4 total).
+// Returns bytes written (incl. trailing NUL), 0 for an empty group,
+// -2 when out is too small, -1 when unavailable.
+long long f5i_list_children(int64_t fid, const char* group, char* out,
+                            long long cap) {
+    if (!h5lib) return -1;
+    long long used = 0;
+    for (uint64_t i = 0;; ++i) {
+        char name[256];
+        int64_t n = p_H5Lget_name_by_idx((hid_t)fid, group, 0 /*NAME*/,
+                                         0 /*INC*/, i, name, sizeof(name),
+                                         P_DEFAULT);
+        if (n <= 0) break;
+        if (n >= (int64_t)sizeof(name)) return -2;     // truncated name
+        if (used + n + 2 > cap) return -2;
+        memcpy(out + used, name, (size_t)n);
+        used += n;
+        out[used++] = '\n';
+    }
+    if (used > 0) out[used - 1] = 0;
+    else if (cap > 0) out[0] = 0;
+    return used;
+}
+
 // ---- attribute helpers --------------------------------------------------
 
 static int read_attr_f64(hid_t obj, const char* name, double* out) {
