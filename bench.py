@@ -241,7 +241,7 @@ def cached_e2e_fixtures(n_reads, seed=11):
     return indir, time.time() - t0
 
 
-def bench_e2e(n_reads, reps=E2E_REPS, batch=None):
+def bench_e2e(n_reads, reps=E2E_REPS, batch=None, compute_threads=None):
     """Full-session throughput: FAST5 dir -> FASTQ + summary + counts with
     barcoding, poly(A), unsplit filtering and adapter trim all enabled.
     EVERY device-program shape is compiled up front (config prewarm +
@@ -268,6 +268,8 @@ def bench_e2e(n_reads, reps=E2E_REPS, batch=None):
                               parallel=4,      # ingest workers (-p 4)
                               batch_chunk_size=batch,
                               device_batch_size=batch)
+        if compute_threads:
+            config['compute_threads'] = int(compute_threads)
         logger = logging.getLogger('bench-e2e')
         logger.addHandler(logging.NullHandler())
         logger.propagate = False
@@ -450,6 +452,7 @@ def main():
     parser.add_argument('--e2e-reads', type=int, default=E2E_READS)
     parser.add_argument('--e2e-reps', type=int, default=E2E_REPS)
     parser.add_argument('--e2e-batch', type=int, default=None)
+    parser.add_argument('--e2e-threads', type=int, default=None)
     parser.add_argument('--e2e-cpu-reads', type=int, default=E2E_READS // 4)
     parser.add_argument('--skip-scaling', action='store_true')
     parser.add_argument('--e2e-cpu-child', action='store_true',
@@ -494,7 +497,9 @@ def main():
     e2e = None
     if not args.skip_e2e:
         try:
-            e2e = bench_e2e(args.e2e_reads, reps=args.e2e_reps)
+            e2e = bench_e2e(args.e2e_reads, reps=args.e2e_reps,
+                            batch=args.e2e_batch,
+                            compute_threads=args.e2e_threads)
         except Exception as exc:
             print('e2e bench failed: {}'.format(exc), file=sys.stderr)
 

@@ -547,6 +547,11 @@ class BatchAnalyzer:
         chunks = [None] * len(handles)
 
         def pump():
+            try:        # overlap the per-launch download round trips
+                for h in handles:
+                    h.copy_to_host_async()
+            except Exception:
+                pass
             for i, h in enumerate(handles):
                 chunks[i] = self.stage1.collect_stage1_flat(h)
 

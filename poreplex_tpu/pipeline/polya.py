@@ -256,6 +256,16 @@ class _WavefrontDriver:
             from ..utils.profiling import WIRE
             results = [None] * len(launches)
             with trace('C:polya/download'):
+                # start every transfer before awaiting any: each awaited
+                # download pays a ~27 ms tunnel round trip, and async
+                # copies overlap them (measured 8 serial downloads at
+                # 214 ms vs 28 ms batched)
+                try:
+                    for chunk, rows, blen, size, out in launches:
+                        for h in out:
+                            h.copy_to_host_async()
+                except Exception:
+                    pass        # sharded/older arrays: plain awaits below
                 for i, (chunk, rows, blen, size, out) in enumerate(launches):
                     results[i] = tuple(WIRE.await_array('polya', h)
                                        for h in out)

@@ -218,6 +218,11 @@ class UnsplitReadDetector:
         results = [None] * len(launches)
 
         def pump():
+            try:        # overlap the per-launch download round trips
+                for chunk, handle in launches:
+                    handle.copy_to_host_async()
+            except Exception:
+                pass
             for i, (chunk, handle) in enumerate(launches):
                 results[i] = WIRE.await_array('unsplit', handle)
 
