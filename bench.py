@@ -25,6 +25,7 @@ import shutil
 import sys
 import tempfile
 import time
+import traceback
 
 import numpy as np
 
@@ -444,6 +445,23 @@ def bench_scaling_cpu(n_files=32):
             'n_reads': n_reads, 'hosts': 2, 'cpus_per_host': 1}
 
 
+def _attempt(fn, name, tries=2):
+    """Run a bench section with one retry: the tunnel-attached TPU
+    occasionally drops a whole section (FailedPrecondition on tunnel
+    hiccups), and a null in the driver capture costs a round of signal.
+    The retry also benefits from any server-side compile-cache warmup the
+    failed attempt did."""
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as exc:
+            traceback.print_exc()
+            print('{} attempt {}/{} failed: {}'.format(name, i + 1, tries,
+                                                       exc),
+                  file=sys.stderr)
+    return None
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--skip-e2e', action='store_true')
@@ -472,10 +490,7 @@ def main():
     # thread pools measured it ~0.2 lower when run last)
     scaling = None
     if not args.skip_scaling:
-        try:
-            scaling = bench_scaling_cpu()
-        except Exception as exc:
-            print('scaling bench failed: {}'.format(exc), file=sys.stderr)
+        scaling = _attempt(bench_scaling_cpu, 'scaling bench')
 
     from poreplex_tpu.config import build_config
     from poreplex_tpu.pipeline.engine import DeviceEngine
@@ -488,30 +503,28 @@ def main():
         engine = DeviceEngine(config)
         heads, pooled, pooled_len = make_inputs(engine, N_READS)
 
-        tpu_rps = bench_tpu(engine, pooled, pooled_len)
-        try:
-            cpu_rps = bench_cpu(config, heads, pooled, pooled_len)
-        except Exception as exc:
-            print('cpu baseline failed: {}'.format(exc), file=sys.stderr)
+        tpu_rps = _attempt(
+            lambda: bench_tpu(engine, pooled, pooled_len), 'stage1 bench')
+        cpu_rps = _attempt(
+            lambda: bench_cpu(config, heads, pooled, pooled_len),
+            'cpu baseline')
 
     e2e = None
     if not args.skip_e2e:
-        try:
-            e2e = bench_e2e(args.e2e_reads, reps=args.e2e_reps,
-                            batch=args.e2e_batch,
-                            compute_threads=args.e2e_threads)
-        except Exception as exc:
-            print('e2e bench failed: {}'.format(exc), file=sys.stderr)
+        e2e = _attempt(
+            lambda: bench_e2e(args.e2e_reads, reps=args.e2e_reps,
+                              batch=args.e2e_batch,
+                              compute_threads=args.e2e_threads),
+            'e2e bench')
 
     if e2e is not None and not args.skip_e2e_cpu:
-        try:
-            cpu_e2e = bench_e2e_cpu(args.e2e_cpu_reads)
+        cpu_e2e = _attempt(lambda: bench_e2e_cpu(args.e2e_cpu_reads),
+                           'cpu e2e')
+        if cpu_e2e is not None:
             e2e['cpu_reads_per_s'] = cpu_e2e['reads_per_s']
             e2e['cpu_n_reads'] = cpu_e2e['n_reads']
             e2e['vs_cpu'] = round(e2e['reads_per_s'] /
                                   cpu_e2e['reads_per_s'], 2)
-        except Exception as exc:
-            print('cpu e2e failed: {}'.format(exc), file=sys.stderr)
 
     result = {
         'metric': 'demux_segmentation_throughput',
