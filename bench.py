@@ -290,6 +290,7 @@ def bench_e2e(n_reads, reps=E2E_REPS, batch=None, compute_threads=None):
         # host-CPU variance is +-15-25%, so a single sample cannot support
         # round-over-round comparisons (VERDICT r3 weak-3)
         samples = []
+        last_elapsed = None
         for rep in range(reps):
             rep_out = tempfile.mkdtemp(prefix='bench-e2e-rep-')
             try:
@@ -320,9 +321,10 @@ def bench_e2e(n_reads, reps=E2E_REPS, batch=None, compute_threads=None):
         # awaited over the tunnel) and bytes moved, per program family —
         # proves where the non-host share of the wall goes (VERDICT r4 #3)
         device = WIRE.snapshot()
-        device['wall_s'] = round(last_elapsed, 2)
-        device['device_busy_frac'] = round(
-            device['device_busy_s'] / last_elapsed, 3)
+        if last_elapsed:
+            device['wall_s'] = round(last_elapsed, 2)
+            device['device_busy_frac'] = round(
+                device['device_busy_s'] / last_elapsed, 3)
         return {
             'reads_per_s': spread['median'],
             'spread': spread,

@@ -195,7 +195,10 @@ class NativeFast5:
             return None
         if n == 0:
             return []
-        return buf.value.decode().split('\n')
+        try:
+            return buf.value.decode().split('\n')
+        except UnicodeDecodeError:
+            return None     # exotic link names: let the h5py path decide
 
     def nodes_for(self, read_id):
         """(raw, channel, tracking, signal, analyses) node paths, or None

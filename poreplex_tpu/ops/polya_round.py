@@ -63,8 +63,12 @@ SPIKE_STREAM_PER_ROW = 24   # 16 measured 2 overflow fallbacks / 2048
                             # reads; +8 rows/read costs ~40 KB per launch
 
 
-def spike_capacity(rows):
-    return rows * SPIKE_STREAM_PER_ROW
+def spike_capacity(rows, max_spikes):
+    """Launch spike-stream capacity: the per-row budget plus headroom
+    for one maximal pack, so a small-row-variant launch (rows as low as
+    4) can still hold a single legal spike-heavy pack (<= max_spikes)
+    without cascading every later pack into the host fallback."""
+    return rows * SPIKE_STREAM_PER_ROW + 2 * max_spikes
 
 
 def pack_width(max_spikes):
@@ -269,7 +273,7 @@ def polya_round_core(stream, meta, *, blen, window_length1,
     # contributing min(spike_count, max_spikes) rows. Entries past the
     # capacity drop on device and are detected by the host's offset
     # arithmetic -> spike-overflow fallback for exactly those packs.
-    cap = spike_capacity(R)
+    cap = spike_capacity(R, max_spikes)
     have = jnp.concatenate([have_a, have_b], axis=0)      # [2R, S]
     vals = jnp.concatenate([spk_a, spk_b], axis=0)        # [2R, S, 5]
     stored = jnp.sum(have.astype(jnp.int32), axis=1)      # <= max_spikes
@@ -305,7 +309,9 @@ def unpack_rows(heads, spike_stream, used, max_spikes):
         np.concatenate([heads[:, 9], heads[:, PACK_HEAD + 9]]),
         max_spikes).astype(np.int64)
     offs = np.cumsum(stored) - stored
-    fits = offs + stored <= cap
+    # a zero-spike pack needs nothing from the stream: keep it decodable
+    # even when an earlier pack overflowed the capacity
+    fits = (offs + stored <= cap) | (stored == 0)
     out = []
     for i in range(used):
         a = _PackView(heads[i, :PACK_HEAD],

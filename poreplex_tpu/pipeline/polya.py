@@ -226,7 +226,13 @@ class _WavefrontDriver:
         while True:
             with self.lock:
                 while not self.inflight and not self.pending:
-                    if not self.wake.wait(self.IDLE_TIMEOUT):
+                    if not self.wake.wait(self.IDLE_TIMEOUT) and \
+                            not self.inflight and not self.pending:
+                        # re-check under the lock: a submit can land (and
+                        # its notify be consumed) in the window where the
+                        # timed-out waiter is reacquiring the lock, and
+                        # submit_inflight saw a live thread — exiting
+                        # without this check would strand that round
                         self.thread = None
                         return
                 if self.inflight:
@@ -339,9 +345,13 @@ class PolyaAnalyzer:
             ('tpu' if use_pallas else 'cpu'))
         self._aot.extra_key = aot_extra_key
         self._aot_exes = {}
-        # lazily-created self-driving wavefront thread (shared by every
-        # batch of this analyzer; coalesces rounds across batches)
-        self._driver = None
+        # self-driving wavefront driver, shared by every batch of this
+        # analyzer (coalesces rounds across batches). Created eagerly:
+        # two compute threads racing a lazy init would each build one
+        # and silently lose the cross-batch coalescing plus the
+        # finish_batch liveness backstop for the orphaned driver's
+        # batches. The constructor starts no thread (submit does).
+        self._driver = _WavefrontDriver(self)
 
         mean_loc, mean_scale = config['polya_mean_dist']
         self.polya_mean_cutoff = (
@@ -400,8 +410,6 @@ class PolyaAnalyzer:
                 self._build_window(t, stride)
         with trace('C:polya/dispatch'):
             launches = self._dispatch_round(tasks)
-        if self._driver is None:
-            self._driver = _WavefrontDriver(self)
         self._driver.submit_inflight(tasks, launches, stride)
         return ticket
 
@@ -720,22 +728,31 @@ class PolyaAnalyzer:
             depth = t.depth + r
             range_was_set = t.polya_range is not None
 
-            if row.peaks_truncated and row.blen < _BUCKETS[-1]:
-                with trace('C:polya/trunc_retry'):
-                    pass        # counter: stage_calls tally the retries
+            if row.peaks_truncated:
                 # the bucket's event-table width truncated this window's
                 # event table: decisions from it are unsafe — rerun the
                 # task AT THIS DEPTH (earlier speculative rows were all
                 # clean extends, already reflected in depth/rough_end)
-                # in the next bucket (2x window padding, 2x table
-                # width); monotone growth bounds the retries
-                nt = _Task(t.read, t.rough_begin, t.rough_end + r * meu,
-                           t.polya_range, depth)
-                nt.orig_end_none = t.orig_end_none if r == 0 else False
-                nt.ticket = t.ticket
-                nt.rounds = t.rounds + 1
-                nt.min_bucket = next(b for b in _BUCKETS if b > row.blen)
-                return nt
+                # in the next bucket whose table is actually WIDER
+                # (padding alone reproduces the identical truncated
+                # table); monotone growth bounds the retries. No wider
+                # bucket => proceed with the clamped table, the bounded
+                # behavior every fixed-width event detector has.
+                wider = next(
+                    (b for b in _BUCKETS if b > row.blen and
+                     _BUCKET_PEAKS.get(b, 1023) >
+                     _BUCKET_PEAKS.get(row.blen, 1023)), None)
+                if wider is not None:
+                    with trace('C:polya/trunc_retry'):
+                        pass    # counter: stage_calls tally the retries
+                    nt = _Task(t.read, t.rough_begin,
+                               t.rough_end + r * meu,
+                               t.polya_range, depth)
+                    nt.orig_end_none = t.orig_end_none if r == 0 else False
+                    nt.ticket = t.ticket
+                    nt.rounds = t.rounds + 1
+                    nt.min_bucket = wider
+                    return nt
 
             if t.orig_end_none and r == 0:
                 # rough range had no end: straight to anchor recalibration

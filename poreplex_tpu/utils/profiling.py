@@ -64,10 +64,17 @@ class WireAccounting:
         self.up_bytes = defaultdict(int)
         self.down_bytes = defaultdict(int)
         self.intervals = defaultdict(list)
+        self.launches = defaultdict(int)
 
     def upload(self, family, nbytes):
         with self.lock:
             self.up_bytes[family] += int(nbytes)
+
+    # bound the per-family interval lists for long-running sessions:
+    # compacting a list into its disjoint union is LOSSLESS for every
+    # number this class reports (busy_s is the union), so production
+    # sessions that never call clear() stay O(1) in memory
+    MAX_INTERVALS = 4096
 
     def await_array(self, family, handle):
         """Await + download one device result, recording the busy
@@ -78,7 +85,11 @@ class WireAccounting:
         t1 = time.perf_counter()
         with self.lock:
             self.down_bytes[family] += arr.nbytes
-            self.intervals[family].append((t0, t1))
+            self.launches[family] += 1
+            iv = self.intervals[family]
+            iv.append((t0, t1))
+            if len(iv) > self.MAX_INTERVALS:
+                self.intervals[family] = _merge_intervals(iv)
         return arr
 
     def clear(self):
@@ -86,6 +97,7 @@ class WireAccounting:
             self.up_bytes.clear()
             self.down_bytes.clear()
             self.intervals.clear()
+            self.launches.clear()
 
     @staticmethod
     def _union_s(intervals):
@@ -111,11 +123,24 @@ class WireAccounting:
                 'upload_mb': round(self.up_bytes[fam] / 1e6, 2),
                 'download_mb': round(self.down_bytes[fam] / 1e6, 2),
                 'busy_s': round(self._union_s(self.intervals[fam]), 3),
-                'launches': len(self.intervals[fam]),
+                'launches': self.launches[fam],
             } for fam in fams}
             allv = [iv for fam in fams for iv in self.intervals[fam]]
             out['device_busy_s'] = round(self._union_s(allv), 3)
         return out
+
+
+def _merge_intervals(intervals):
+    """Disjoint union of intervals (sorted merge) — lossless compaction
+    for union-based reporting."""
+    out = []
+    for a, b in sorted(intervals):
+        if out and a <= out[-1][1]:
+            if b > out[-1][1]:
+                out[-1] = (out[-1][0], b)
+        else:
+            out.append((a, b))
+    return out
 
 
 WIRE = WireAccounting()
