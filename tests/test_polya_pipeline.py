@@ -425,3 +425,25 @@ def test_peak_truncation_retries_in_larger_bucket(polya_config,
         assert read.polya['begin'] == oracle.result['begin']
         assert read.polya['end'] == oracle.result['end']
         assert len(read.polya['spikes']) == len(oracle.result['spikes'])
+
+
+def test_driver_restarts_after_idle_exit(polya_config, monkeypatch):
+    """The wavefront thread exits after IDLE_TIMEOUT of no work and must
+    be resurrected transparently by the next batch's submit."""
+    from poreplex_tpu.pipeline import polya as polya_mod
+    monkeypatch.setattr(polya_mod._WavefrontDriver, 'IDLE_TIMEOUT', 0.05)
+
+    rng = np.random.RandomState(60)
+    analyzer = PolyaAnalyzer(polya_config)
+    for k in range(3):
+        sig = build_signal(rng, polya_len=1500 + 400 * k)
+        rough = rough_range_for(4000, 1500 + 400 * k)
+        read = FakeRead(sig)
+        analyzer.process_batch([(read, rough)], STRIDE)
+        oracle = PolyaOracle(polya_config)
+        oracle(sig, RATE, rough, STRIDE)
+        assert (read.polya is None) == (oracle.result is None)
+        if oracle.result is not None:
+            assert read.polya['begin'] == oracle.result['begin']
+        import time
+        time.sleep(0.15)    # let the driver idle-exit between batches
