@@ -273,18 +273,24 @@ def polya_round_core(stream, meta, *, blen, window_length1,
     # contributing min(spike_count, max_spikes) rows. Entries past the
     # capacity drop on device and are detected by the host's offset
     # arithmetic -> spike-overflow fallback for exactly those packs.
+    # Built GATHER-side — each output slot binary-searches its source
+    # pack on the running totals and reads vals[p, k] directly (spike
+    # lanes within a pack are already compacted by _decide's searchsorted
+    # positions, so slot k of pack p IS its k-th stored spike). A
+    # scatter formulation of the same table measured tens of ms on TPU;
+    # this [CAP]-sized gather is noise.
     cap = spike_capacity(R, max_spikes)
-    have = jnp.concatenate([have_a, have_b], axis=0)      # [2R, S]
     vals = jnp.concatenate([spk_a, spk_b], axis=0)        # [2R, S, 5]
+    have = jnp.concatenate([have_a, have_b], axis=0)      # [2R, S]
     stored = jnp.sum(have.astype(jnp.int32), axis=1)      # <= max_spikes
-    offs = jnp.cumsum(stored) - stored                    # exclusive
-    k = jnp.arange(have.shape[1], dtype=jnp.int32)[None, :]
-    idx = offs[:, None] + k
-    idx = jnp.where(have & (idx < cap), idx, cap)         # cap = drop row
-    stream_out = jnp.zeros((cap + 1, SPIKE_COLS), jnp.float32)
-    stream_out = stream_out.at[idx.reshape(-1)].set(
-        vals.reshape(-1, SPIKE_COLS), mode='drop')
-    return heads, stream_out[:cap]
+    cum = jnp.cumsum(stored)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    p = jnp.searchsorted(cum, slot, side='right').astype(jnp.int32)
+    p = jnp.minimum(p, stored.shape[0] - 1)
+    base = jnp.where(p > 0, cum[jnp.maximum(p - 1, 0)], 0)
+    k = jnp.minimum(slot - base, vals.shape[1] - 1)
+    stream_out = jnp.where((slot < cum[-1])[:, None], vals[p, k], 0.0)
+    return heads, stream_out
 
 
 polya_round = partial(jax.jit, static_argnames=(

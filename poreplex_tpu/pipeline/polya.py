@@ -294,6 +294,9 @@ class _WavefrontDriver:
             if t.ticket is not None:
                 t.ticket.adjust(-1)
         if requeue:
+            for _ in requeue:           # counter: extension/retry volume
+                with trace('C:polya/requeued_task'):
+                    pass
             with self.lock:
                 self.pending.extend(requeue)
                 self.pending_stride = stride
