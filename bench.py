@@ -242,7 +242,8 @@ def cached_e2e_fixtures(n_reads, seed=11):
     return indir, time.time() - t0
 
 
-def bench_e2e(n_reads, reps=E2E_REPS, batch=None, compute_threads=None):
+def bench_e2e(n_reads, reps=E2E_REPS, batch=None, compute_threads=None,
+              chunk=None):
     """Full-session throughput: FAST5 dir -> FASTQ + summary + counts with
     barcoding, poly(A), unsplit filtering and adapter trim all enabled.
     EVERY device-program shape is compiled up front (config prewarm +
@@ -271,6 +272,11 @@ def bench_e2e(n_reads, reps=E2E_REPS, batch=None, compute_threads=None):
                               device_batch_size=batch)
         if compute_threads:
             config['compute_threads'] = int(compute_threads)
+        if chunk:
+            # session batch size decoupled from the device batch: bigger
+            # waves amortize per-batch fixed costs over the same
+            # compiled shapes (stage-1 sub-batches internally)
+            config['batch_chunk_size'] = int(chunk)
         logger = logging.getLogger('bench-e2e')
         logger.addHandler(logging.NullHandler())
         logger.propagate = False
@@ -473,6 +479,7 @@ def main():
     parser.add_argument('--e2e-reps', type=int, default=E2E_REPS)
     parser.add_argument('--e2e-batch', type=int, default=None)
     parser.add_argument('--e2e-threads', type=int, default=None)
+    parser.add_argument('--e2e-chunk', type=int, default=None)
     parser.add_argument('--e2e-cpu-reads', type=int, default=E2E_READS // 4)
     parser.add_argument('--skip-scaling', action='store_true')
     parser.add_argument('--e2e-cpu-child', action='store_true',
@@ -516,7 +523,8 @@ def main():
         e2e = _attempt(
             lambda: bench_e2e(args.e2e_reads, reps=args.e2e_reps,
                               batch=args.e2e_batch,
-                              compute_threads=args.e2e_threads),
+                              compute_threads=args.e2e_threads,
+                              chunk=args.e2e_chunk),
             'e2e bench')
 
     if e2e is not None and not args.skip_e2e_cpu:
