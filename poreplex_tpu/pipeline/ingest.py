@@ -285,9 +285,33 @@ class IngestPool:
                   for _ in range(self.processes)]:
             f.result()
 
+    # per-chunk read count when fanning one batch across workers: multi-
+    # read bench files hold 32 reads, so 64-read chunks span ~2 files and
+    # workers rarely open the same file twice
+    CHUNK_READS = 64
+
     def load(self, reads):
-        """Run one batch's PHASE A in a worker; blocks (GIL released)."""
-        return self._pool.submit(load_batch_worker, reads).result()
+        """Run one batch's PHASE A fanned across the worker pool; blocks
+        (GIL released). Chunking one batch over every idle worker cuts
+        the batch's ingest LATENCY ~Nx (ingest is on the session's
+        critical path at the start of a run and for the last batches),
+        while the executor's FIFO order still drains older batches'
+        chunks first when several batches are in flight."""
+        if len(reads) <= self.CHUNK_READS or self.processes <= 1:
+            return self._pool.submit(load_batch_worker, reads).result()
+        step = max(self.CHUNK_READS,
+                   -(-len(reads) // self.processes))
+        futures = [self._pool.submit(load_batch_worker,
+                                     reads[lo:lo + step])
+                   for lo in range(0, len(reads), step)]
+        payloads = []
+        timers = {}
+        for f in futures:
+            p, t = f.result()
+            payloads.extend(p)
+            for name, secs in t.items():
+                timers[name] = timers.get(name, 0.0) + secs
+        return payloads, timers
 
     def shutdown(self):
         pool, self._pool = self._pool, None
